@@ -1,0 +1,26 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (the driver separately dry-runs the real
+# multi-chip path via __graft_entry__.dryrun_multichip).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+ORACLE_LIB = os.path.join(os.path.dirname(__file__), "..", ".oracle",
+                          "libref_harness.so")
+
+
+def have_oracle() -> bool:
+    return os.path.exists(ORACLE_LIB)
+
+
+requires_oracle = pytest.mark.skipif(
+    not have_oracle(),
+    reason="reference harness not built (tools/build_harness.sh)",
+)
