@@ -41,11 +41,13 @@ INTER_MODE_CTX_LUT = np.array([
     [5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 3, 3, 3, 4]], dtype=np.uint8)
 SUB8X8_OFF = [3, 0, 0, 1, 0, 0, 0, 0, 0, 0]  # reference: vp9block.c:584
 
+# rows padded to 8 entries like the C int16_t[8] (band may over-increment
+# on the final coefficient; the padding zero is never meaningfully used)
 BAND_COUNTS = [
-    [1, 2, 3, 4, 3, 16 - 13],
-    [1, 2, 3, 4, 11, 64 - 21],
-    [1, 2, 3, 4, 11, 256 - 21],
-    [1, 2, 3, 4, 11, 1024 - 21],
+    [1, 2, 3, 4, 3, 16 - 13, 0, 0],
+    [1, 2, 3, 4, 11, 64 - 21, 0, 0],
+    [1, 2, 3, 4, 11, 256 - 21, 0, 0],
+    [1, 2, 3, 4, 11, 1024 - 21, 0, 0],
 ]
 
 
@@ -794,7 +796,7 @@ class TileDecoder:
                         band_left = band_counts[band]
                     cache[scan[i]] = 0
                     nnz = (1 + cache[nb[i][0]] + cache[nb[i][1]]) >> 1
-                    tp = probs11[band][nnz]
+                    tp = probs11[min(band, 5)][nnz]
                     i += 1
                     if i == n_coeffs:
                         break
@@ -882,11 +884,11 @@ class TileDecoder:
                 # 8bpp stores coefficients in int16 (wraps on overflow)
                 coefv = ((coefv + 0x8000) & 0xFFFF) - 0x8000
             vals[rc] = coefv
-            nnz = (1 + cache[nb[i][0]] + cache[nb[i][1]]) >> 1
-            tp = probs11[band][nnz]
             i += 1
             if i >= n_coeffs:
                 break
+            nnz = (1 + cache[nb[i - 1][0]] + cache[nb[i - 1][1]]) >> 1
+            tp = probs11[band][nnz]
         if i and vals:
             for rc, v in vals.items():
                 plane_coef[py + rc // sz, px + rc % sz] = v

@@ -42,6 +42,7 @@ class BoolDecoder:
 
     def get_prob(self, prob: int) -> int:
         """Decode one bool with P(bit==0) = prob/256."""
+        prob = int(prob)  # guard against numpy uint8 wraparound
         r = self.range
         split = 1 + (((r - 1) * prob) >> 8)
         v = self.value

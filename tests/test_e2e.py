@@ -1,0 +1,54 @@
+"""End-to-end conformance: decode generated vectors, compare per-frame MD5
+against the oracle decoder (our FATE equivalent)."""
+import os
+import subprocess
+
+import pytest
+
+from ffmpeg_hybrid_tpu.formats.framemd5 import (parse_framemd5,
+                                                decode_file_md5s)
+
+VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
+ORACLE = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build",
+                      "ffmpeg")
+
+
+def ensure_vectors():
+    if not os.path.exists(os.path.join(VEC_DIR, "intra_64.ivf")):
+        if not os.path.exists(ORACLE):
+            pytest.skip("oracle ffmpeg not built")
+        subprocess.run(
+            ["python", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "make_vectors.py")],
+            check=True, capture_output=True)
+
+
+INTRA = ["intra_64", "intra_64_noise", "intra_66x66", "intra_98x66",
+         "intra_130x98", "intra_176x144", "intra_200x120_noise",
+         "intra_352x288"]
+INTER = ["inter_64_5f", "inter_66x66_5f", "inter_130x98_8f",
+         "inter_176x144_10f", "inter_176x144_noise", "inter_352x288_10f",
+         "inter_grad_8f"]
+
+
+@pytest.mark.parametrize("name", INTRA)
+def test_intra_conformance(name):
+    ensure_vectors()
+    ivf = os.path.join(VEC_DIR, name + ".ivf")
+    ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
+    got = decode_file_md5s(ivf)
+    assert len(got) == len(ref), f"{name}: frame count {len(got)} != {len(ref)}"
+    for i, ((rs, rh), (gs, gh)) in enumerate(zip(ref, got)):
+        assert gs == rs, f"{name} frame {i}: size {gs} != {rs}"
+        assert gh == rh, f"{name} frame {i}: md5 mismatch"
+
+
+@pytest.mark.parametrize("name", INTER)
+def test_inter_conformance(name):
+    ensure_vectors()
+    ivf = os.path.join(VEC_DIR, name + ".ivf")
+    ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
+    got = decode_file_md5s(ivf)
+    assert len(got) == len(ref)
+    for i, ((rs, rh), (gs, gh)) in enumerate(zip(ref, got)):
+        assert gs == rs and gh == rh, f"{name} frame {i}: mismatch"
