@@ -424,12 +424,15 @@ class TileDecoder:
         self.left_txfm_ctx[row7:row7 + nh] = b.tx
         self.left_partition_ctx[row7:row7 + nh] = LEFT_CTX[b.bs]
         if not (h.keyframe or h.intraonly):
+            # NOTE: mode ctx written at raw col/row7 (1 entry per b8) on
+            # inter frames, unlike the keyframe path's 2-per-b8 layout
+            # (reference: SET_CTXS, vp9block.c:747-751)
             s.above_intra_ctx[col:col + nw] = b.intra
             s.above_comp_ctx[col:col + nw] = b.comp
-            s.above_mode_ctx[col * 2:col * 2 + nw] = b.mode[3]
+            s.above_mode_ctx[col:col + nw] = b.mode[3]
             self.left_intra_ctx[row7:row7 + nh] = b.intra
             self.left_comp_ctx[row7:row7 + nh] = b.comp
-            self.left_mode_ctx[row7 * 2:row7 * 2 + nh] = b.mode[3]
+            self.left_mode_ctx[row7:row7 + nh] = b.mode[3]
             if not b.intra:
                 s.above_ref_ctx[col:col + nw] = vref
                 self.left_ref_ctx[row7:row7 + nh] = vref
@@ -692,8 +695,8 @@ class TileDecoder:
                 ctx = int(INTER_MODE_CTX_LUT[
                     int(s.above_mode_ctx[col + off]),
                     int(self.left_mode_ctx[row7 + off])])
-                b.mode[0] = NEARESTMV + c.get_tree(T.INTER_MODE_TREE,
-                                                   s.probs.mv_mode[ctx])
+                b.mode[0] = c.get_tree(T.INTER_MODE_TREE,
+                                       s.probs.mv_mode[ctx])
                 b.mode[1] = b.mode[2] = b.mode[3] = b.mode[0]
                 cnt.mv_mode[ctx, b.mode[0] - 10] += 1
 
@@ -722,13 +725,13 @@ class TileDecoder:
         if b.bs > BS_8x8:
             ctx = int(INTER_MODE_CTX_LUT[int(s.above_mode_ctx[col]),
                                          int(self.left_mode_ctx[row7])])
-            b.mode[0] = NEARESTMV + c.get_tree(T.INTER_MODE_TREE,
-                                               s.probs.mv_mode[ctx])
+            b.mode[0] = c.get_tree(T.INTER_MODE_TREE,
+                                   s.probs.mv_mode[ctx])
             cnt.mv_mode[ctx, b.mode[0] - 10] += 1
             mvs.fill_mv(self, b.mv[0], b.mode[0], 0)
             if b.bs != BS_8x4:
-                b.mode[1] = NEARESTMV + c.get_tree(T.INTER_MODE_TREE,
-                                                   s.probs.mv_mode[ctx])
+                b.mode[1] = c.get_tree(T.INTER_MODE_TREE,
+                                       s.probs.mv_mode[ctx])
                 cnt.mv_mode[ctx, b.mode[1] - 10] += 1
                 mvs.fill_mv(self, b.mv[1], b.mode[1], 1)
             else:
@@ -736,12 +739,12 @@ class TileDecoder:
                 b.mv[1][0] = b.mv[0][0]
                 b.mv[1][1] = b.mv[0][1]
             if b.bs != BS_4x8:
-                b.mode[2] = NEARESTMV + c.get_tree(T.INTER_MODE_TREE,
-                                                   s.probs.mv_mode[ctx])
+                b.mode[2] = c.get_tree(T.INTER_MODE_TREE,
+                                       s.probs.mv_mode[ctx])
                 cnt.mv_mode[ctx, b.mode[2] - 10] += 1
                 mvs.fill_mv(self, b.mv[2], b.mode[2], 2)
                 if b.bs != BS_8x4:
-                    b.mode[3] = NEARESTMV + c.get_tree(
+                    b.mode[3] = c.get_tree(
                         T.INTER_MODE_TREE, s.probs.mv_mode[ctx])
                     cnt.mv_mode[ctx, b.mode[3] - 10] += 1
                     mvs.fill_mv(self, b.mv[3], b.mode[3], 3)

@@ -196,6 +196,29 @@ class VP9Decoder:
                 or self.mvpair_frame.size != self.cur_frame_obj.size):
             self.segmap_frame = None
 
+        # ref scale factors (reference: vp9.c:845-880)
+        self.mvscale = [[0, 0] for _ in range(3)]
+        self.mvstep = [[0, 0] for _ in range(3)]
+        if not h.keyframe and not h.intraonly:
+            valid = 0
+            for i in range(3):
+                ref = self.refs[h.refidx[i]]
+                refw, refh = ref.size
+                if refw == h.width and refh == h.height:
+                    self.mvscale[i] = [0, 0]
+                elif (h.width * 2 < refw or h.height * 2 < refh
+                      or h.width > 16 * refw or h.height > 16 * refh):
+                    self.mvscale[i] = [-1, -1]  # REF_INVALID_SCALE
+                    continue
+                else:
+                    self.mvscale[i] = [(refw << 14) // h.width,
+                                       (refh << 14) // h.height]
+                    self.mvstep[i] = [16 * self.mvscale[i][0] >> 14,
+                                      16 * self.mvscale[i][1] >> 14]
+                valid += 1
+            if not valid:
+                raise ValueError("no valid reference frame")
+
         # frame context resets (reference: vp9.c:882-897)
         c = h.framectxid
         if any(p is None for p in self.prob_ctx):

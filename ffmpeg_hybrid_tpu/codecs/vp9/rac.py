@@ -85,7 +85,7 @@ class BoolDecoder:
         """
         i = 0
         while True:
-            nxt = tree[i][self.get_prob(probs[i])]
+            nxt = int(tree[i][self.get_prob(probs[i])])
             if nxt <= 0:
                 return -nxt
             i = nxt
