@@ -133,6 +133,19 @@ class VP9Decoder:
         self.lf_level = np.zeros((sb_rows, sb_cols, 8, 8), np.uint8)
         self.lf_mask = np.zeros((sb_rows, sb_cols, 2, 2, 8, 4), np.int32)
         self.blocks: list = []
+        # dense grids for the TPU pass-B backend
+        r4, c4 = sb_rows * 16, sb_cols * 16
+        r4u, c4u = r4 >> ss_v, c4 >> ss_h
+        self.txsz4 = np.zeros((r4, c4), np.int8)
+        self.txtype4 = np.zeros((r4, c4), np.int8)
+        self.uvtx4 = np.zeros((r4u, c4u), np.int8)
+        self.inter4 = np.zeros((r4, c4), bool)
+        self.inter4uv = np.zeros((r4u, c4u), bool)
+        self.mv4 = np.zeros((r4, c4, 2, 2), np.int16)
+        self.uvmv4 = np.zeros((r4u, c4u, 2, 2), np.int16)
+        self.ref4 = np.zeros((r4, c4, 2), np.int8)
+        self.comp4 = np.zeros((r4, c4), bool)
+        self.filter4 = np.zeros((r4, c4), np.int8)
         # cross-block state grids
         self.cur_segmap = self.cur_frame_obj.seg_map
         self.cur_mv = self.cur_frame_obj.mv
@@ -157,7 +170,111 @@ class VP9Decoder:
         blk.ref = list(b.ref)
         blk.filter = b.filter
         blk.mv = [list(m) for m in b.mv]
-        self.blocks.append((td.row, td.col, td.tile_col_start, blk))
+        row, col = td.row, td.col
+        self.blocks.append((row, col, td.tile_col_start, blk))
+
+        # dense grid splat (TPU backend inputs)
+        from . import tables as _T
+        h = self.header
+        ss_h, ss_v = self.ss_h, self.ss_v
+        w4 = int(_T.BWH_TAB[1, b.bs, 0]) * 2  # b4 units
+        h4 = int(_T.BWH_TAB[1, b.bs, 1]) * 2
+        r0, c0 = row * 2, col * 2
+        self.txsz4[r0:r0 + h4, c0:c0 + w4] = b.tx
+        ur0, uc0 = r0 >> ss_v, c0 >> ss_h
+        uh4 = max(1, h4 >> ss_v)
+        uw4 = max(1, w4 >> ss_h)
+        self.uvtx4[ur0:ur0 + uh4, uc0:uc0 + uw4] = b.uvtx
+        if b.intra:
+            # per-b4 prediction mode -> transform type (sub-8x8 blocks have
+            # per-quadrant modes; reference: intra_recon mode indexing)
+            if b.bs > 9 and b.tx == 0:  # sub-8x8, TX_4X4
+                for dy in range(h4):
+                    for dx in range(w4):
+                        m = b.mode[(dy & 1) * 2 + (dx & 1)]
+                        self.txtype4[r0 + dy, c0 + dx] = \
+                            _T.INTRA_TXFM_TYPE[m]
+            else:
+                self.txtype4[r0:r0 + h4, c0:c0 + w4] = \
+                    _T.INTRA_TXFM_TYPE[b.mode[0]]
+        else:
+            self.txtype4[r0:r0 + h4, c0:c0 + w4] = 0
+            self.inter4[r0:r0 + h4, c0:c0 + w4] = True
+            self.inter4uv[ur0:ur0 + uh4, uc0:uc0 + uw4] = True
+            self.comp4[r0:r0 + h4, c0:c0 + w4] = b.comp
+            self.filter4[r0:r0 + h4, c0:c0 + w4] = b.filter
+            self.ref4[r0:r0 + h4, c0:c0 + w4, 0] = b.ref[0]
+            self.ref4[r0:r0 + h4, c0:c0 + w4, 1] = \
+                b.ref[1] if b.comp else -1
+            if b.bs <= 9:  # 8x8 and larger: single MV
+                for ri in range(2):
+                    self.mv4[r0:r0 + h4, c0:c0 + w4, ri, 0] = b.mv[0][ri][0]
+                    self.mv4[r0:r0 + h4, c0:c0 + w4, ri, 1] = b.mv[0][ri][1]
+                    self.uvmv4[ur0:ur0 + uh4, uc0:uc0 + uw4, ri, 0] = \
+                        b.mv[0][ri][0]
+                    self.uvmv4[ur0:ur0 + uh4, uc0:uc0 + uw4, ri, 1] = \
+                        b.mv[0][ri][1]
+            else:
+                self._splat_sub8x8_mv(b, r0, c0, ur0, uc0)
+
+    def _splat_sub8x8_mv(self, b, r0, c0, ur0, uc0):
+        """Per-quadrant luma MVs + chroma MV averaging rules (incl. the
+        libvpx 4:2:2 bug), mirroring vp9_mc_template.c:58-230."""
+        from .inter import _avg_mv2, _avg_mv4
+        ss_h, ss_v = self.ss_h, self.ss_v
+        for ri in range(2):
+            # luma: quadrant mapping
+            for dy in range(2):
+                for dx in range(2):
+                    q = dy * 2 + dx
+                    self.mv4[r0 + dy, c0 + dx, ri] = b.mv[q][ri]
+            # chroma
+            bs = b.bs
+            if bs == 10:  # BS_8x4
+                if ss_v:
+                    uv = _avg_mv2(b.mv[0][ri], b.mv[2][ri])
+                    self.uvmv4[ur0, uc0:uc0 + (2 >> ss_h), ri] = uv
+                    if not ss_h:
+                        self.uvmv4[ur0, uc0 + 1, ri] = uv
+                else:
+                    top = b.mv[0][ri]
+                    bot = b.mv[2][ri] if ss_h == 0 else \
+                        _avg_mv2(b.mv[0][ri], b.mv[2][ri])
+                    for dx in range(2 >> ss_h):
+                        self.uvmv4[ur0, uc0 + dx, ri] = top
+                        self.uvmv4[ur0 + 1, uc0 + dx, ri] = bot
+            elif bs == 11:  # BS_4x8
+                if ss_h:
+                    uv = _avg_mv2(b.mv[0][ri], b.mv[1][ri])
+                    for dy in range(2 >> ss_v):
+                        self.uvmv4[ur0 + dy, uc0, ri] = uv
+                else:
+                    for dy in range(2 >> ss_v):
+                        self.uvmv4[ur0 + dy, uc0, ri] = b.mv[0][ri]
+                        self.uvmv4[ur0 + dy, uc0 + 1, ri] = b.mv[1][ri]
+            else:  # BS_4x4
+                if ss_v:
+                    if ss_h:
+                        self.uvmv4[ur0, uc0, ri] = _avg_mv4(
+                            b.mv[0][ri], b.mv[1][ri], b.mv[2][ri],
+                            b.mv[3][ri])
+                    else:
+                        self.uvmv4[ur0, uc0, ri] = _avg_mv2(
+                            b.mv[0][ri], b.mv[2][ri])
+                        self.uvmv4[ur0, uc0 + 1, ri] = _avg_mv2(
+                            b.mv[1][ri], b.mv[3][ri])
+                else:
+                    if ss_h:
+                        self.uvmv4[ur0, uc0, ri] = _avg_mv2(
+                            b.mv[0][ri], b.mv[1][ri])
+                        # BUG (kept): wrong sub-block for 4:2:2 bottom
+                        self.uvmv4[ur0 + 1, uc0, ri] = _avg_mv2(
+                            b.mv[1][ri], b.mv[2][ri])
+                    else:
+                        for dy in range(2):
+                            for dx in range(2):
+                                self.uvmv4[ur0 + dy, uc0 + dx, ri] = \
+                                    b.mv[dy * 2 + dx][ri]
 
     # ------------------------------------------------------------------
     def decode(self, data: bytes):

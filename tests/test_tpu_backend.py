@@ -1,0 +1,24 @@
+"""Conformance through the TPU (JAX) pass-B backend — must equal the
+oracle bit-for-bit, same as the golden path. Runs on CPU-jax in CI;
+the same code path runs on real TPU."""
+import os
+
+import pytest
+
+from ffmpeg_hybrid_tpu.formats.framemd5 import (parse_framemd5,
+                                                decode_file_md5s)
+
+VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
+
+
+@pytest.mark.parametrize("name", ["intra_64", "intra_66x66", "inter_64_5f",
+                                  "inter_66x66_5f"])
+def test_tpu_backend_conformance(name):
+    ivf = os.path.join(VEC_DIR, name + ".ivf")
+    if not os.path.exists(ivf):
+        pytest.skip("vectors not generated")
+    ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
+    got = decode_file_md5s(ivf, backend="tpu")
+    assert len(got) == len(ref)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"{name} frame {i}: TPU backend mismatch"
