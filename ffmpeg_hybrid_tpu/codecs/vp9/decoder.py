@@ -70,7 +70,14 @@ class Frame:
 class VP9Decoder:
     """Stateful VP9 decoder. decode(packet) -> list of output Frames."""
 
-    def __init__(self, recon_backend="golden"):
+    def __init__(self, recon_backend="golden", use_native=None):
+        if use_native is None:
+            try:
+                from ...passa_native import available
+            except ImportError:
+                from ..passa_native import available  # pragma: no cover
+            use_native = available()
+        self.use_native = use_native
         self.header: Header | None = None
         self.prob_ctx = [None, None, None, None]  # 4 frame contexts
         self.refs: list[Frame | None] = [None] * 8
@@ -363,10 +370,16 @@ class VP9Decoder:
             for fld in Probs.FIELDS:
                 getattr(ctx, fld)[...] = getattr(self.probs, fld)
 
-        # pass A: tile entropy decode
+        # pass A: tile entropy decode (native C fast path when built)
         tile_data = data[h.uncompressed_header_size
                          + h.compressed_header_size:]
-        counts = self._decode_tiles(tile_data)
+        if self.use_native:
+            from ...passa_native import decode_tiles_native
+            self.native_counts = Counts()
+            decode_tiles_native(self, tile_data)
+            counts = self.native_counts
+        else:
+            counts = self._decode_tiles(tile_data)
 
         # backward probability adaptation (reference: vp9.c:1821-1824)
         if h.refreshctx and not h.parallelmode:

@@ -1,0 +1,331 @@
+"""ctypes bridge to the native pass-A entropy decoder (vp9_entropy.c).
+
+Field order of `NativeCtx` mirrors the C `Ctx` struct exactly.
+"""
+import ctypes as C
+import os
+
+import numpy as np
+
+from .codecs.vp9 import tables as T
+
+_LIB = None
+
+u8p = C.POINTER(C.c_uint8)
+i8p = C.POINTER(C.c_int8)
+i16p = C.POINTER(C.c_int16)
+i32p = C.POINTER(C.c_int32)
+u32p = C.POINTER(C.c_uint32)
+
+
+class NativeCtx(C.Structure):
+    _fields_ = (
+        [("cols", C.c_int32), ("rows", C.c_int32),
+         ("sb_cols", C.c_int32), ("sb_rows", C.c_int32),
+         ("ss_h", C.c_int32), ("ss_v", C.c_int32), ("bpp", C.c_int32),
+         ("keyframe", C.c_int32), ("intraonly", C.c_int32),
+         ("lossless", C.c_int32), ("txfmmode", C.c_int32),
+         ("filtermode", C.c_int32), ("comppredmode", C.c_int32),
+         ("allowcompinter", C.c_int32), ("fixcompref", C.c_int32),
+         ("varcompref0", C.c_int32), ("varcompref1", C.c_int32),
+         ("signbias", C.c_int32 * 3),
+         ("highprecisionmvs", C.c_int32), ("errorres", C.c_int32),
+         ("use_last_frame_mvs", C.c_int32), ("filter_level", C.c_int32),
+         ("seg_enabled", C.c_int32), ("seg_update_map", C.c_int32),
+         ("seg_temporal", C.c_int32), ("seg_absolute_vals", C.c_int32),
+         ("tile_cols", C.c_int32), ("tile_rows", C.c_int32),
+         ("log2_tile_cols", C.c_int32), ("log2_tile_rows", C.c_int32),
+         ("seg_prob", C.c_uint8 * 7), ("seg_pred_prob", C.c_uint8 * 3),
+         ("seg_skip_en", C.c_int32 * 8), ("seg_ref_en", C.c_int32 * 8),
+         ("seg_ref_val", C.c_int32 * 8),
+         ("qmul", (C.c_int32 * 2 * 2) * 8),
+         ("lflvl", (C.c_uint8 * 2 * 4) * 8)]
+        + [(n, u8p) for n in
+           ("p_ymode", "p_uvmode", "p_filter", "p_mvmode", "p_intra",
+            "p_comp", "p_single_ref", "p_comp_ref", "p_tx32", "p_tx16",
+            "p_tx8", "p_skip", "p_mv_joint", "p_partition", "p_mv_sign",
+            "p_mv_classes", "p_mv_class0", "p_mv_bits", "p_mv_c0fp",
+            "p_mv_fp", "p_mv_c0hp", "p_mv_hp", "coef11")]
+        + [("t_partition_tree", i8p), ("t_kf_part_probs", u8p),
+           ("t_seg_tree", i8p), ("t_intramode_tree", i8p),
+           ("t_kf_ymode", u8p), ("t_kf_uvmode", u8p),
+           ("t_inter_mode_tree", i8p), ("t_filter_tree", i8p),
+           ("t_filter_lut", u8p), ("t_mv_joint_tree", i8p),
+           ("t_mv_class_tree", i8p), ("t_mv_fp_tree", i8p),
+           ("t_intra_txfm_type", u8p), ("t_scans", i16p),
+           ("t_scans_nb", i16p)]
+        + [("coef_y", i32p), ("coef_u", i32p), ("coef_v", i32p),
+           ("eob_y", i32p), ("eob_u", i32p), ("eob_v", i32p),
+           ("txsz4", i8p), ("txtype4", i8p), ("uvtx4", i8p),
+           ("inter4", u8p), ("inter4uv", u8p),
+           ("mv4", i16p), ("uvmv4", i16p), ("ref4", i8p),
+           ("comp4", u8p), ("filter4", i8p),
+           ("lf_level", u8p), ("lf_mask", i32p),
+           ("segmap", u8p), ("prev_segmap", u8p),
+           ("cur_mv", i16p), ("cur_ref", i8p),
+           ("prev_mv", i16p), ("prev_ref", i8p),
+           ("a_partition", u8p), ("a_skip", u8p), ("a_txfm", u8p),
+           ("a_segpred", u8p), ("a_intra", u8p), ("a_comp", u8p),
+           ("a_ref", u8p), ("a_filter", u8p), ("a_mode", u8p),
+           ("a_ynnz", u8p), ("a_uvnnz0", u8p), ("a_uvnnz1", u8p),
+           ("a_mv", i32p)]
+        + [(n, u32p) for n in
+           ("c_ymode", "c_uvmode", "c_filter", "c_mvmode", "c_intra",
+            "c_comp", "c_single_ref", "c_comp_ref", "c_tx32", "c_tx16",
+            "c_tx8", "c_skip", "c_mv_joint", "c_partition", "c_coef",
+            "c_eob", "c_mv_sign", "c_mv_classes", "c_mv_class0",
+            "c_mv_bits", "c_mv_c0fp", "c_mv_fp", "c_mv_c0hp", "c_mv_hp")]
+        + [("blocks_out", i16p), ("max_blocks", C.c_int32),
+           ("n_blocks", C.c_int32), ("error", C.c_int32)]
+    )
+
+
+def lib():
+    global _LIB
+    if _LIB is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "native",
+                            "libvp9passa.so")
+        _LIB = C.CDLL(path)
+        _LIB.vp9_decode_tiles.restype = C.c_int
+    return _LIB
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except OSError:
+        return False
+
+
+# normative tables in C-friendly contiguous layouts (built once)
+_SCANS_PADDED = None
+_SCANS_NB_PADDED = None
+
+
+def _padded_scans():
+    global _SCANS_PADDED, _SCANS_NB_PADDED
+    if _SCANS_PADDED is None:
+        sc = np.zeros((5, 4, 1024), np.int16)
+        nb = np.zeros((5, 4, 1024, 2), np.int16)
+        for tx in range(5):
+            for tt in range(4):
+                a = T.SCANS[tx][tt]
+                sc[tx, tt, :a.size] = a
+                b = T.SCANS_NB[tx][tt]
+                nb[tx, tt, :b.shape[0]] = b
+        _SCANS_PADDED = np.ascontiguousarray(sc)
+        _SCANS_NB_PADDED = np.ascontiguousarray(nb)
+    return _SCANS_PADDED, _SCANS_NB_PADDED
+
+
+def _p(arr, typ):
+    return arr.ctypes.data_as(typ)
+
+
+_KEEPALIVE_TABLES = {}
+
+
+def _tbl(name, arr, typ):
+    if name not in _KEEPALIVE_TABLES:
+        _KEEPALIVE_TABLES[name] = np.ascontiguousarray(arr)
+    return _p(_KEEPALIVE_TABLES[name], typ)
+
+
+def decode_tiles_native(s, data: bytes) -> bool:
+    """Run the native pass A over the tile data. Fills the same output
+    tensors as the Python TileDecoder path. Returns True on success."""
+    if not available():
+        return False
+    h = s.header
+    ctx = NativeCtx()
+    ctx.cols, ctx.rows = s.cols, s.rows
+    ctx.sb_cols, ctx.sb_rows = s.sb_cols, s.sb_rows
+    ctx.ss_h, ctx.ss_v, ctx.bpp = s.ss_h, s.ss_v, h.bpp
+    ctx.keyframe, ctx.intraonly = int(h.keyframe), int(h.intraonly)
+    ctx.lossless, ctx.txfmmode = int(h.lossless), int(h.txfmmode)
+    ctx.filtermode = int(h.filtermode)
+    ctx.comppredmode = int(h.comppredmode)
+    ctx.allowcompinter = int(h.allowcompinter)
+    ctx.fixcompref = int(h.fixcompref)
+    ctx.varcompref0, ctx.varcompref1 = int(h.varcompref[0]), \
+        int(h.varcompref[1])
+    for i in range(3):
+        ctx.signbias[i] = int(h.signbias[i])
+    ctx.highprecisionmvs = int(h.highprecisionmvs)
+    ctx.errorres = int(h.errorres)
+    ctx.use_last_frame_mvs = int(bool(h.use_last_frame_mvs)
+                                 and s.prev_mv is not None)
+    ctx.filter_level = int(h.filter_level)
+    ctx.seg_enabled = int(h.seg_enabled)
+    ctx.seg_update_map = int(h.seg_update_map)
+    ctx.seg_temporal = int(h.seg_temporal)
+    ctx.seg_absolute_vals = int(h.seg_absolute_vals)
+    ctx.tile_cols, ctx.tile_rows = h.tile_cols, h.tile_rows
+    ctx.log2_tile_cols, ctx.log2_tile_rows = h.log2_tile_cols, \
+        h.log2_tile_rows
+    for i in range(7):
+        ctx.seg_prob[i] = h.seg_prob[i]
+    for i in range(3):
+        ctx.seg_pred_prob[i] = h.seg_pred_prob[i]
+    for i in range(8):
+        f = h.seg_feat[i]
+        ctx.seg_skip_en[i] = int(f.skip_enabled)
+        ctx.seg_ref_en[i] = int(f.ref_enabled)
+        ctx.seg_ref_val[i] = int(f.ref_val)
+        for a in range(2):
+            for b in range(2):
+                ctx.qmul[i][a][b] = int(f.qmul[a, b])
+        for a in range(4):
+            for b in range(2):
+                ctx.lflvl[i][a][b] = int(f.lflvl[a, b])
+
+    p = s.probs
+    keep = []
+
+    def arr(a, typ):
+        a = np.ascontiguousarray(a)
+        keep.append(a)
+        return _p(a, typ)
+
+    ctx.p_ymode = arr(p.y_mode, u8p)
+    ctx.p_uvmode = arr(p.uv_mode, u8p)
+    ctx.p_filter = arr(p.filter, u8p)
+    ctx.p_mvmode = arr(p.mv_mode, u8p)
+    ctx.p_intra = arr(p.intra, u8p)
+    ctx.p_comp = arr(p.comp, u8p)
+    ctx.p_single_ref = arr(p.single_ref, u8p)
+    ctx.p_comp_ref = arr(p.comp_ref, u8p)
+    ctx.p_tx32 = arr(p.tx32p, u8p)
+    ctx.p_tx16 = arr(p.tx16p, u8p)
+    ctx.p_tx8 = arr(p.tx8p, u8p)
+    ctx.p_skip = arr(p.skip, u8p)
+    ctx.p_mv_joint = arr(p.mv_joint, u8p)
+    ctx.p_partition = arr(p.partition, u8p)
+    ctx.p_mv_sign = arr(p.mv_sign, u8p)
+    ctx.p_mv_classes = arr(p.mv_classes, u8p)
+    ctx.p_mv_class0 = arr(p.mv_class0, u8p)
+    ctx.p_mv_bits = arr(p.mv_bits, u8p)
+    ctx.p_mv_c0fp = arr(p.mv_class0_fp, u8p)
+    ctx.p_mv_fp = arr(p.mv_fp, u8p)
+    ctx.p_mv_c0hp = arr(p.mv_class0_hp, u8p)
+    ctx.p_mv_hp = arr(p.mv_hp, u8p)
+    ctx.coef11 = arr(s.coef11, u8p)
+
+    ctx.t_partition_tree = _tbl("ptree", T.PARTITION_TREE, i8p)
+    ctx.t_kf_part_probs = _tbl("kfpart", T.DEFAULT_KF_PARTITION_PROBS, u8p)
+    ctx.t_seg_tree = _tbl("segtree", T.SEGMENTATION_TREE, i8p)
+    ctx.t_intramode_tree = _tbl("imtree", T.INTRAMODE_TREE, i8p)
+    ctx.t_kf_ymode = _tbl("kfy", T.DEFAULT_KF_YMODE_PROBS, u8p)
+    ctx.t_kf_uvmode = _tbl("kfuv", T.DEFAULT_KF_UVMODE_PROBS, u8p)
+    ctx.t_inter_mode_tree = _tbl("intree", T.INTER_MODE_TREE, i8p)
+    ctx.t_filter_tree = _tbl("ftree", T.FILTER_TREE, i8p)
+    ctx.t_filter_lut = _tbl("flut", T.FILTER_LUT.astype(np.uint8), u8p)
+    ctx.t_mv_joint_tree = _tbl("mvjt", T.MV_JOINT_TREE, i8p)
+    ctx.t_mv_class_tree = _tbl("mvct", T.MV_CLASS_TREE, i8p)
+    ctx.t_mv_fp_tree = _tbl("mvft", T.MV_FP_TREE, i8p)
+    ctx.t_intra_txfm_type = _tbl("itt", T.INTRA_TXFM_TYPE.astype(np.uint8),
+                                 u8p)
+    sc, nb = _padded_scans()
+    ctx.t_scans = _p(sc, i16p)
+    ctx.t_scans_nb = _p(nb, i16p)
+
+    ctx.coef_y = _p(s.coef_y, i32p)
+    ctx.coef_u = _p(s.coef_u, i32p)
+    ctx.coef_v = _p(s.coef_v, i32p)
+    ctx.eob_y = _p(s.eob_y, i32p)
+    ctx.eob_u = _p(s.eob_u, i32p)
+    ctx.eob_v = _p(s.eob_v, i32p)
+    ctx.txsz4 = _p(s.txsz4, i8p)
+    ctx.txtype4 = _p(s.txtype4, i8p)
+    ctx.uvtx4 = _p(s.uvtx4, i8p)
+    ctx.inter4 = _p(s.inter4.view(np.uint8), u8p)
+    ctx.inter4uv = _p(s.inter4uv.view(np.uint8), u8p)
+    ctx.mv4 = _p(s.mv4, i16p)
+    ctx.uvmv4 = _p(s.uvmv4, i16p)
+    ctx.ref4 = _p(s.ref4, i8p)
+    ctx.comp4 = _p(s.comp4.view(np.uint8), u8p)
+    ctx.filter4 = _p(s.filter4, i8p)
+    ctx.lf_level = _p(s.lf_level, u8p)
+    ctx.lf_mask = _p(s.lf_mask, i32p)
+    ctx.segmap = _p(s.cur_segmap, u8p)
+    ctx.prev_segmap = (_p(s.prev_segmap, u8p)
+                       if s.prev_segmap is not None else None)
+    ctx.cur_mv = _p(s.cur_mv, i16p)
+    ctx.cur_ref = _p(s.cur_ref, i8p)
+    ctx.prev_mv = _p(s.prev_mv, i16p) if s.prev_mv is not None else None
+    ctx.prev_ref = _p(s.prev_ref, i8p) if s.prev_ref is not None else None
+
+    ctx.a_partition = _p(s.above_partition_ctx, u8p)
+    ctx.a_skip = _p(s.above_skip_ctx, u8p)
+    ctx.a_txfm = _p(s.above_txfm_ctx, u8p)
+    ctx.a_segpred = _p(s.above_segpred_ctx, u8p)
+    ctx.a_intra = _p(s.above_intra_ctx, u8p)
+    ctx.a_comp = _p(s.above_comp_ctx, u8p)
+    ctx.a_ref = _p(s.above_ref_ctx, u8p)
+    ctx.a_filter = _p(s.above_filter_ctx, u8p)
+    ctx.a_mode = _p(s.above_mode_ctx, u8p)
+    ctx.a_ynnz = _p(s.above_y_nnz_ctx, u8p)
+    ctx.a_uvnnz0 = _p(s.above_uv_nnz_ctx[0], u8p)
+    ctx.a_uvnnz1 = _p(s.above_uv_nnz_ctx[1], u8p)
+    ctx.a_mv = _p(s.above_mv_ctx, i32p)
+
+    cnt = s.native_counts
+    ctx.c_ymode = _p(cnt.y_mode, u32p)
+    ctx.c_uvmode = _p(cnt.uv_mode, u32p)
+    ctx.c_filter = _p(cnt.filter, u32p)
+    ctx.c_mvmode = _p(cnt.mv_mode, u32p)
+    ctx.c_intra = _p(cnt.intra, u32p)
+    ctx.c_comp = _p(cnt.comp, u32p)
+    ctx.c_single_ref = _p(cnt.single_ref, u32p)
+    ctx.c_comp_ref = _p(cnt.comp_ref, u32p)
+    ctx.c_tx32 = _p(cnt.tx32p, u32p)
+    ctx.c_tx16 = _p(cnt.tx16p, u32p)
+    ctx.c_tx8 = _p(cnt.tx8p, u32p)
+    ctx.c_skip = _p(cnt.skip, u32p)
+    ctx.c_mv_joint = _p(cnt.mv_joint, u32p)
+    ctx.c_partition = _p(cnt.partition, u32p)
+    ctx.c_coef = _p(cnt.coef, u32p)
+    ctx.c_eob = _p(cnt.eob, u32p)
+    ctx.c_mv_sign = _p(cnt.mv_sign, u32p)
+    ctx.c_mv_classes = _p(cnt.mv_classes, u32p)
+    ctx.c_mv_class0 = _p(cnt.mv_class0, u32p)
+    ctx.c_mv_bits = _p(cnt.mv_bits, u32p)
+    ctx.c_mv_c0fp = _p(cnt.mv_class0_fp, u32p)
+    ctx.c_mv_fp = _p(cnt.mv_fp, u32p)
+    ctx.c_mv_c0hp = _p(cnt.mv_class0_hp, u32p)
+    ctx.c_mv_hp = _p(cnt.mv_hp, u32p)
+
+    max_blocks = s.cols * s.rows + 64
+    blocks = np.zeros((max_blocks, 36), np.int16)
+    ctx.blocks_out = _p(blocks, i16p)
+    ctx.max_blocks = max_blocks
+
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib().vp9_decode_tiles(C.byref(ctx), _p(buf, u8p), len(data))
+    if rc != 0:
+        raise ValueError(f"native pass A failed: {rc}")
+
+    # rebuild the block list for the recon backends
+    from .codecs.vp9.blockdec import Block
+    blks = []
+    for i in range(ctx.n_blocks):
+        r = blocks[i]
+        b = Block()
+        b.bs = int(r[3])
+        b.seg_id = int(r[4])
+        b.skip = int(r[5])
+        b.intra = int(r[6])
+        b.tx = int(r[7])
+        b.uvtx = int(r[8])
+        b.mode = [int(r[9]), int(r[10]), int(r[11]), int(r[12])]
+        b.uvmode = int(r[13])
+        b.comp = int(r[14])
+        b.ref = [int(r[15]), int(r[16])]
+        b.filter = int(r[17])
+        b.mv = [[(int(r[18 + q * 4]), int(r[19 + q * 4])),
+                 (int(r[20 + q * 4]), int(r[21 + q * 4]))]
+                for q in range(4)]
+        blks.append((int(r[0]), int(r[1]), int(r[2]), b))
+    s.blocks = blks
+    return True

@@ -1,0 +1,517 @@
+/*
+ * Native pass-A entropy decoder for the TPU-native VP9 framework.
+ *
+ * Re-implements the (already conformance-verified) Python pass A
+ * (ffmpeg_hybrid_tpu/codecs/vp9/{rac,blockdec,mvs}.py) in C for speed:
+ * per-tile superblock partition walk, mode/MV/coefficient decode, loop
+ * filter mask building, writing the same dense per-frame tensors the TPU
+ * pass-B consumes. Called from Python via ctypes (see native/passa.py).
+ *
+ * Behavioral reference for the normative syntax: libavcodec/vp9block.c,
+ * vp9mvs.c, vp9.c (decode_sb/decode_tiles); this file is derived from our
+ * Python implementation of the same spec, not from the reference sources.
+ */
+#include <stdint.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* boolean range decoder (spec form, matches rac.py)                   */
+
+typedef struct {
+    const uint8_t *data;
+    int size;
+    int byte_pos;
+    int bit_pos;
+    unsigned value;
+    unsigned range;
+    int overread;
+} BoolDec;
+
+static void bd_init(BoolDec *c, const uint8_t *data, int size)
+{
+    c->data = data;
+    c->size = size;
+    c->byte_pos = 0;
+    c->bit_pos = 0;
+    c->value = 0;
+    c->range = 255;
+    c->overread = 0;
+    for (int i = 0; i < 8; i++) {
+        int b = 0;
+        if (c->byte_pos < c->size) {
+            b = (c->data[c->byte_pos] >> (7 - c->bit_pos)) & 1;
+            if (++c->bit_pos == 8) { c->bit_pos = 0; c->byte_pos++; }
+        } else c->overread++;
+        c->value = (c->value << 1) | b;
+    }
+}
+
+static inline int bd_next_bit(BoolDec *c)
+{
+    if (c->byte_pos >= c->size) { c->overread++; return 0; }
+    int b = (c->data[c->byte_pos] >> (7 - c->bit_pos)) & 1;
+    if (++c->bit_pos == 8) { c->bit_pos = 0; c->byte_pos++; }
+    return b;
+}
+
+static inline int bd_prob(BoolDec *c, int prob)
+{
+    unsigned split = 1 + (((c->range - 1) * (unsigned)prob) >> 8);
+    int bit;
+    if (c->value < split) {
+        bit = 0;
+        c->range = split;
+    } else {
+        bit = 1;
+        c->range -= split;
+        c->value -= split;
+    }
+    while (c->range < 128) {
+        c->range <<= 1;
+        c->value = (c->value << 1) | bd_next_bit(c);
+    }
+    return bit;
+}
+
+static inline int bd_bit(BoolDec *c) { return bd_prob(c, 128); }
+
+static inline int bd_tree(BoolDec *c, const int8_t (*tree)[2],
+                          const uint8_t *probs)
+{
+    int i = 0;
+    for (;;) {
+        int n = tree[i][bd_prob(c, probs[i])];
+        if (n <= 0) return -n;
+        i = n;
+    }
+}
+
+static inline int bd_is_end(const BoolDec *c)
+{
+    return c->byte_pos >= c->size && c->overread > 10;
+}
+
+/* ------------------------------------------------------------------ */
+/* static tables (normative; values identical to tables.py)            */
+
+static const uint8_t bwh_tab[2][13][2] = {
+    { {16,16},{16,8},{8,16},{8,8},{8,4},{4,8},{4,4},{4,2},{2,4},{2,2},
+      {2,1},{1,2},{1,1} },
+    { {8,8},{8,4},{4,8},{4,4},{4,2},{2,4},{2,2},{2,1},{1,2},{1,1},
+      {1,1},{1,1},{1,1} },
+};
+static const uint8_t left_ctx_tab[13] =
+    {0x0,0x8,0x0,0x8,0xc,0x8,0xc,0xe,0xc,0xe,0xf,0xe,0xf};
+static const uint8_t above_ctx_tab[13] =
+    {0x0,0x0,0x8,0x8,0x8,0xc,0xc,0xc,0xe,0xe,0xe,0xf,0xf};
+static const uint8_t max_tx_tab[13] = {3,3,3,3,2,2,2,1,1,1,0,0,0};
+static const uint8_t size_group[10] = {3,3,3,3,2,2,2,1,1,1};
+static const uint8_t sub8x8_off[10] = {3,0,0,1,0,0,0,0,0,0};
+static const int16_t band_counts[4][8] = {
+    {1,2,3,4,3,3,0,0}, {1,2,3,4,11,43,0,0},
+    {1,2,3,4,11,235,0,0}, {1,2,3,4,11,1003,0,0},
+};
+static const int8_t mv_ref_blk_off[13][8][2] = {
+    { {3,-1},{-1,3},{4,-1},{-1,4},{-1,-1},{0,-1},{-1,0},{6,-1} },
+    { {0,-1},{-1,0},{4,-1},{-1,2},{-1,-1},{0,-3},{-3,0},{2,-1} },
+    { {-1,0},{0,-1},{-1,4},{2,-1},{-1,-1},{-3,0},{0,-3},{-1,2} },
+    { {1,-1},{-1,1},{2,-1},{-1,2},{-1,-1},{0,-3},{-3,0},{-3,-3} },
+    { {0,-1},{-1,0},{2,-1},{-1,-1},{-1,1},{0,-3},{-3,0},{-3,-3} },
+    { {-1,0},{0,-1},{-1,2},{-1,-1},{1,-1},{-3,0},{0,-3},{-3,-3} },
+    { {0,-1},{-1,0},{1,-1},{-1,1},{-1,-1},{0,-3},{-3,0},{-3,-3} },
+    { {0,-1},{-1,0},{1,-1},{-1,-1},{0,-2},{-2,0},{-2,-1},{-1,-2} },
+    { {-1,0},{0,-1},{-1,1},{-1,-1},{-2,0},{0,-2},{-1,-2},{-2,-1} },
+    { {0,-1},{-1,0},{-1,-1},{0,-2},{-2,0},{-1,-2},{-2,-1},{-2,-2} },
+    { {0,-1},{-1,0},{-1,-1},{0,-2},{-2,0},{-1,-2},{-2,-1},{-2,-2} },
+    { {0,-1},{-1,0},{-1,-1},{0,-2},{-2,0},{-1,-2},{-2,-1},{-2,-2} },
+    { {0,-1},{-1,0},{-1,-1},{0,-2},{-2,0},{-1,-2},{-2,-1},{-2,-2} },
+};
+static const uint8_t inter_mode_ctx_lut_row_hi[14] =
+    {6,6,6,6,6,6,6,6,6,6,5,5,5,5};
+static const uint8_t inter_mode_ctx_lut_lo[4][14] = {
+    {5,5,5,5,5,5,5,5,5,5,2,2,1,3},
+    {5,5,5,5,5,5,5,5,5,5,2,2,1,3},
+    {5,5,5,5,5,5,5,5,5,5,1,1,0,3},
+    {5,5,5,5,5,5,5,5,5,5,3,3,3,4},
+};
+static inline int inter_mode_ctx(int a, int l)
+{
+    if (a < 10) return (l < 10) ? 6 : 5;
+    return inter_mode_ctx_lut_lo[a - 10][l];
+}
+
+#define TX_4X4 0
+#define TX_8X8 1
+#define TX_16X16 2
+#define TX_32X32 3
+#define TX_SWITCHABLE 4
+#define FILTER_SWITCHABLE 4
+#define PRED_SINGLEREF 0
+#define PRED_COMPREF 1
+#define PRED_SWITCHABLE 2
+#define DC_PRED 2
+#define NEARESTMV 10
+#define NEARMV 11
+#define ZEROMV 12
+#define NEWMV 13
+#define BS_8x8 9
+#define BS_8x4 10
+#define BS_4x8 11
+#define BS_4x4 12
+
+/* ------------------------------------------------------------------ */
+/* context struct shared with Python via ctypes (native/passa.py       */
+/* mirrors this layout field-for-field)                                */
+
+typedef struct {
+    /* header/geometry */
+    int32_t cols, rows, sb_cols, sb_rows;
+    int32_t ss_h, ss_v, bpp;
+    int32_t keyframe, intraonly, lossless, txfmmode, filtermode;
+    int32_t comppredmode, allowcompinter, fixcompref;
+    int32_t varcompref0, varcompref1;
+    int32_t signbias[3];
+    int32_t highprecisionmvs, errorres, use_last_frame_mvs, filter_level;
+    int32_t seg_enabled, seg_update_map, seg_temporal, seg_absolute_vals;
+    int32_t tile_cols, tile_rows, log2_tile_cols, log2_tile_rows;
+    uint8_t seg_prob[7], seg_pred_prob[3];
+    int32_t seg_skip_en[8], seg_ref_en[8], seg_ref_val[8];
+    int32_t qmul[8][2][2];      /* [seg][plane-type][dc/ac] */
+    uint8_t lflvl[8][4][2];     /* [seg][ref+1][mode!=zero] */
+    /* probabilities */
+    uint8_t *p_ymode;      /* [4][9] */
+    uint8_t *p_uvmode;     /* [10][9] */
+    uint8_t *p_filter;     /* [4][2] */
+    uint8_t *p_mvmode;     /* [7][3] */
+    uint8_t *p_intra;      /* [4] */
+    uint8_t *p_comp;       /* [5] */
+    uint8_t *p_single_ref; /* [5][2] */
+    uint8_t *p_comp_ref;   /* [5] */
+    uint8_t *p_tx32;       /* [2][3] */
+    uint8_t *p_tx16;       /* [2][2] */
+    uint8_t *p_tx8;        /* [2] */
+    uint8_t *p_skip;       /* [3] */
+    uint8_t *p_mv_joint;   /* [3] */
+    uint8_t *p_partition;  /* [4][4][3] */
+    uint8_t *p_mv_sign;    /* [2] */
+    uint8_t *p_mv_classes; /* [2][10] */
+    uint8_t *p_mv_class0;  /* [2] */
+    uint8_t *p_mv_bits;    /* [2][10] */
+    uint8_t *p_mv_c0fp;    /* [2][2][3] */
+    uint8_t *p_mv_fp;      /* [2][3] */
+    uint8_t *p_mv_c0hp;    /* [2] */
+    uint8_t *p_mv_hp;      /* [2] */
+    uint8_t *coef11;       /* [4][2][2][6][6][11] */
+    /* normative tables (from tables.py, passed in) */
+    const int8_t *t_partition_tree;   /* [3][2] */
+    const uint8_t *t_kf_part_probs;   /* [4][4][3] */
+    const int8_t *t_seg_tree;         /* [7][2] */
+    const int8_t *t_intramode_tree;   /* [9][2] */
+    const uint8_t *t_kf_ymode;        /* [10][10][9] */
+    const uint8_t *t_kf_uvmode;       /* [10][9] */
+    const int8_t *t_inter_mode_tree;  /* [3][2] */
+    const int8_t *t_filter_tree;      /* [2][2] */
+    const uint8_t *t_filter_lut;      /* [3] (as uint8) */
+    const int8_t *t_mv_joint_tree;    /* [3][2] */
+    const int8_t *t_mv_class_tree;    /* [10][2] */
+    const int8_t *t_mv_fp_tree;       /* [3][2] */
+    const uint8_t *t_intra_txfm_type; /* [14] */
+    const int16_t *t_scans;           /* [5][4][1024] padded */
+    const int16_t *t_scans_nb;        /* [5][4][1024][2] padded */
+    /* outputs */
+    int32_t *coef_y, *coef_u, *coef_v;
+    int32_t *eob_y, *eob_u, *eob_v;
+    int8_t *txsz4, *txtype4, *uvtx4;
+    uint8_t *inter4, *inter4uv;
+    int16_t *mv4, *uvmv4;            /* [r4][c4][2][2] */
+    int8_t *ref4;                    /* [r4][c4][2] */
+    uint8_t *comp4;
+    int8_t *filter4;
+    uint8_t *lf_level;               /* [sbr][sbc][8][8] */
+    int32_t *lf_mask;                /* [sbr][sbc][2][2][8][4] */
+    uint8_t *segmap;                 /* [r8][c8] */
+    const uint8_t *prev_segmap;      /* may be NULL */
+    int16_t *cur_mv;                 /* [r8][c8][2][2] */
+    int8_t *cur_ref;                 /* [r8][c8][2] */
+    const int16_t *prev_mv;          /* may be NULL */
+    const int8_t *prev_ref;
+    /* above context (persistent, numpy-owned) */
+    uint8_t *a_partition, *a_skip, *a_txfm, *a_segpred, *a_intra;
+    uint8_t *a_comp, *a_ref, *a_filter, *a_mode, *a_ynnz;
+    uint8_t *a_uvnnz0, *a_uvnnz1;
+    int32_t *a_mv;                   /* [2*n8+2][2][2] */
+    /* counts */
+    uint32_t *c_ymode;    /* [4][10] */
+    uint32_t *c_uvmode;   /* [10][10] */
+    uint32_t *c_filter;   /* [4][3] */
+    uint32_t *c_mvmode;   /* [7][4] */
+    uint32_t *c_intra;    /* [4][2] */
+    uint32_t *c_comp;     /* [5][2] */
+    uint32_t *c_single_ref; /* [5][2][2] */
+    uint32_t *c_comp_ref; /* [5][2] */
+    uint32_t *c_tx32;     /* [2][4] */
+    uint32_t *c_tx16;     /* [2][3] */
+    uint32_t *c_tx8;      /* [2][2] */
+    uint32_t *c_skip;     /* [3][2] */
+    uint32_t *c_mv_joint; /* [4] */
+    uint32_t *c_partition; /* [4][4][4] */
+    uint32_t *c_coef;     /* [4][2][2][6][6][3] */
+    uint32_t *c_eob;      /* [4][2][2][6][6][2] */
+    uint32_t *c_mv_sign;  /* [2][2] */
+    uint32_t *c_mv_classes; /* [2][11] */
+    uint32_t *c_mv_class0;  /* [2][2] */
+    uint32_t *c_mv_bits;    /* [2][10][2] */
+    uint32_t *c_mv_c0fp;    /* [2][2][4] */
+    uint32_t *c_mv_fp;      /* [2][4] */
+    uint32_t *c_mv_c0hp;    /* [2][2] */
+    uint32_t *c_mv_hp;      /* [2][2] */
+    /* block records out: per block 32 int16 slots */
+    int16_t *blocks_out;
+    int32_t max_blocks;
+    int32_t n_blocks;
+    int32_t error;
+} Ctx;
+
+/* per-tile/block decoder state */
+typedef struct {
+    Ctx *s;
+    BoolDec *c;
+    int tile_col_start;
+    int row, col, row7;
+    int min_mv_x, min_mv_y, max_mv_x, max_mv_y;
+    /* left ctx */
+    uint8_t l_ynnz[16], l_mode[16], l_uvnnz[2][16];
+    uint8_t l_partition[8], l_skip[8], l_txfm[8], l_segpred[8];
+    uint8_t l_intra[8], l_comp[8], l_ref[8], l_filter[8];
+    int32_t l_mv[16][2][2];
+    /* current block */
+    int bs, bl, bp, seg_id, skip, intra, tx, uvtx;
+    int mode[4], uvmode, comp, ref[2], filter;
+    int32_t mv[4][2][2];  /* [sub][refslot][xy] */
+    int filter_id;
+} Td;
+
+/* ------------------------------------------------------------------ */
+/* MV prediction (mirrors mvs.py)                                      */
+
+static inline int iclip(int v, int lo, int hi)
+{ return v < lo ? lo : v > hi ? hi : v; }
+
+static int find_ref_mvs(Td *td, int ref, int z, int idx, int sb,
+                        int32_t *out_xy)
+{
+    Ctx *s = td->s;
+    int row = td->row, col = td->col, row7 = td->row7;
+    const int8_t (*p)[2] = mv_ref_blk_off[td->bs];
+    int have_mem = 0, have_mem_sub = 0;
+    int32_t mem_x = 0, mem_y = 0, mem_sub_x = 0, mem_sub_y = 0;
+    int c8 = s->sb_cols * 8;
+
+#define CLAMP_XY(ox, oy, ix, iy) do { \
+    ox = iclip(ix, td->min_mv_x, td->max_mv_x); \
+    oy = iclip(iy, td->min_mv_y, td->max_mv_y); } while (0)
+
+#define RETURN_DIRECT(mx, my) do { \
+    if (!idx) { out_xy[0] = (mx); out_xy[1] = (my); return 1; } \
+    else if (!have_mem) { have_mem = 1; mem_x = (mx); mem_y = (my); } \
+    else if ((mx) != mem_x || (my) != mem_y) { \
+        out_xy[0] = (mx); out_xy[1] = (my); return 1; } } while (0)
+
+#define RETURN_MV(mx_, my_) do { \
+    int32_t mx = (mx_), my = (my_); \
+    if (sb > 0) { \
+        if (!have_mem_sub) { \
+            int32_t tx_, ty_; CLAMP_XY(tx_, ty_, mx, my); \
+            if (tx_ != mem_x || ty_ != mem_y) { \
+                out_xy[0] = tx_; out_xy[1] = ty_; return 1; } \
+            have_mem_sub = 1; mem_sub_x = mx; mem_sub_y = my; \
+        } else if (mx != mem_sub_x || my != mem_sub_y) { \
+            int32_t tx_, ty_; CLAMP_XY(tx_, ty_, mx, my); \
+            if (tx_ != mem_x || ty_ != mem_y) { \
+                out_xy[0] = tx_; out_xy[1] = ty_; \
+            } else { out_xy[0] = 0; out_xy[1] = 0; } \
+            return 1; } \
+    } else { \
+        if (!idx) { CLAMP_XY(out_xy[0], out_xy[1], mx, my); return 1; } \
+        else if (!have_mem) { have_mem = 1; mem_x = mx; mem_y = my; } \
+        else if (mx != mem_x || my != mem_y) { \
+            CLAMP_XY(out_xy[0], out_xy[1], mx, my); return 1; } \
+    } } while (0)
+
+#define RETURN_SCALE(mx, my, scale) do { \
+    if (scale) RETURN_MV(-(mx), -(my)); else RETURN_MV((mx), (my)); \
+    } while (0)
+
+    int i_start = 0;
+    if (sb >= 0) {
+        if (sb == 2 || sb == 1) {
+            RETURN_DIRECT(td->mv[0][z][0], td->mv[0][z][1]);
+        } else if (sb == 3) {
+            RETURN_DIRECT(td->mv[2][z][0], td->mv[2][z][1]);
+            RETURN_DIRECT(td->mv[1][z][0], td->mv[1][z][1]);
+            RETURN_DIRECT(td->mv[0][z][0], td->mv[0][z][1]);
+        }
+        if (row > 0) {
+            const int8_t *rr = &s->cur_ref[((row - 1) * c8 + col) * 2];
+            if (rr[0] == ref) {
+                int32_t *m = &s->a_mv[(2 * col + (sb & 1)) * 4];
+                RETURN_MV(m[0], m[1]);
+            } else if (rr[1] == ref) {
+                int32_t *m = &s->a_mv[(2 * col + (sb & 1)) * 4];
+                RETURN_MV(m[2], m[3]);
+            }
+        }
+        if (col > td->tile_col_start) {
+            const int8_t *rr = &s->cur_ref[(row * c8 + col - 1) * 2];
+            if (rr[0] == ref) {
+                RETURN_MV(td->l_mv[2 * row7 + (sb >> 1)][0][0],
+                          td->l_mv[2 * row7 + (sb >> 1)][0][1]);
+            } else if (rr[1] == ref) {
+                RETURN_MV(td->l_mv[2 * row7 + (sb >> 1)][1][0],
+                          td->l_mv[2 * row7 + (sb >> 1)][1][1]);
+            }
+        }
+        i_start = 2;
+    }
+
+    for (int i = i_start; i < 8; i++) {
+        int c = p[i][0] + col, r = p[i][1] + row;
+        if (c >= td->tile_col_start && c < s->cols && r >= 0 && r < s->rows) {
+            const int8_t *rr = &s->cur_ref[(r * c8 + c) * 2];
+            const int16_t *m = &s->cur_mv[(r * c8 + c) * 4];
+            if (rr[0] == ref) RETURN_MV(m[0], m[1]);
+            else if (rr[1] == ref) RETURN_MV(m[2], m[3]);
+        }
+    }
+
+    if (s->use_last_frame_mvs && s->prev_mv) {
+        const int8_t *rr = &s->prev_ref[(row * c8 + col) * 2];
+        const int16_t *m = &s->prev_mv[(row * c8 + col) * 4];
+        if (rr[0] == ref) RETURN_MV(m[0], m[1]);
+        else if (rr[1] == ref) RETURN_MV(m[2], m[3]);
+    }
+
+    /* different-ref candidates with sign-bias flip */
+    for (int i = 0; i < 8; i++) {
+        int c = p[i][0] + col, r = p[i][1] + row;
+        if (c >= td->tile_col_start && c < s->cols && r >= 0 && r < s->rows) {
+            const int8_t *rr = &s->cur_ref[(r * c8 + c) * 2];
+            const int16_t *m = &s->cur_mv[(r * c8 + c) * 4];
+            if (rr[0] != ref && rr[0] >= 0)
+                RETURN_SCALE(m[0], m[1],
+                             td->s->signbias[rr[0]] != td->s->signbias[ref]);
+            if (rr[1] != ref && rr[1] >= 0 &&
+                (m[0] != m[2] || m[1] != m[3]))
+                RETURN_SCALE(m[2], m[3],
+                             td->s->signbias[rr[1]] != td->s->signbias[ref]);
+        }
+    }
+    if (s->use_last_frame_mvs && s->prev_mv) {
+        const int8_t *rr = &s->prev_ref[(row * c8 + col) * 2];
+        const int16_t *m = &s->prev_mv[(row * c8 + col) * 4];
+        if (rr[0] != ref && rr[0] >= 0)
+            RETURN_SCALE(m[0], m[1],
+                         td->s->signbias[rr[0]] != td->s->signbias[ref]);
+        if (rr[1] != ref && rr[1] >= 0 && (m[0] != m[2] || m[1] != m[3]))
+            RETURN_SCALE(m[2], m[3],
+                         td->s->signbias[rr[1]] != td->s->signbias[ref]);
+    }
+    CLAMP_XY(out_xy[0], out_xy[1], 0, 0);
+    return 1;
+#undef RETURN_DIRECT
+#undef RETURN_MV
+#undef RETURN_SCALE
+#undef CLAMP_XY
+}
+
+static int read_mv_component(Td *td, int idx, int hp)
+{
+    Ctx *s = td->s;
+    BoolDec *c = td->c;
+    int sign = bd_prob(c, s->p_mv_sign[idx]);
+    s->c_mv_sign[idx * 2 + sign]++;
+    int cl = bd_tree(c, (const int8_t (*)[2])s->t_mv_class_tree,
+                     &s->p_mv_classes[idx * 10]);
+    s->c_mv_classes[idx * 11 + cl]++;
+    int n;
+    if (cl) {
+        n = 0;
+        for (int m = 0; m < cl; m++) {
+            int bit = bd_prob(c, s->p_mv_bits[idx * 10 + m]);
+            n |= bit << m;
+            s->c_mv_bits[(idx * 10 + m) * 2 + bit]++;
+        }
+        n <<= 3;
+        int bit = bd_tree(c, (const int8_t (*)[2])s->t_mv_fp_tree,
+                          &s->p_mv_fp[idx * 3]);
+        n |= bit << 1;
+        s->c_mv_fp[idx * 4 + bit]++;
+        if (hp) {
+            bit = bd_prob(c, s->p_mv_hp[idx]);
+            s->c_mv_hp[idx * 2 + bit]++;
+            n |= bit;
+        } else {
+            n |= 1;
+            s->c_mv_hp[idx * 2 + 1]++;
+        }
+        n += 8 << cl;
+    } else {
+        n = bd_prob(c, s->p_mv_class0[idx]);
+        s->c_mv_class0[idx * 2 + n]++;
+        int bit = bd_tree(c, (const int8_t (*)[2])s->t_mv_fp_tree,
+                          &s->p_mv_c0fp[(idx * 2 + n) * 3]);
+        s->c_mv_c0fp[(idx * 2 + n) * 4 + bit]++;
+        n = (n << 3) | (bit << 1);
+        if (hp) {
+            bit = bd_prob(c, s->p_mv_c0hp[idx]);
+            s->c_mv_c0hp[idx * 2 + bit]++;
+            n |= bit;
+        } else {
+            n |= 1;
+            s->c_mv_c0hp[idx * 2 + 1]++;
+        }
+    }
+    return sign ? -(n + 1) : (n + 1);
+}
+
+static void fill_mv_one(Td *td, int32_t *mvout, int ref, int z, int mode,
+                        int sb)
+{
+    Ctx *s = td->s;
+    int32_t xy[2];
+    find_ref_mvs(td, ref, z, mode == NEARMV ? 1 : 0,
+                 mode == NEWMV ? -1 : sb, xy);
+    int x = xy[0], y = xy[1], hp = 0;
+    if (mode == NEWMV || sb == -1) {
+        hp = s->highprecisionmvs && x > -64 && x < 64 && y > -64 && y < 64;
+        if (!hp) {
+            if (y & 1) y += (y < 0) ? 1 : -1;
+            if (x & 1) x += (x < 0) ? 1 : -1;
+        }
+    }
+    if (mode == NEWMV) {
+        int j = bd_tree(td->c, (const int8_t (*)[2])s->t_mv_joint_tree,
+                        s->p_mv_joint);
+        s->c_mv_joint[j]++;
+        if (j >= 2) y += read_mv_component(td, 0, hp);
+        if (j & 1) x += read_mv_component(td, 1, hp);
+    }
+    mvout[0] = x;
+    mvout[1] = y;
+}
+
+static void fill_mv(Td *td, int32_t mv[2][2], int mode, int sb)
+{
+    if (mode == ZEROMV) {
+        mv[0][0] = mv[0][1] = mv[1][0] = mv[1][1] = 0;
+        return;
+    }
+    fill_mv_one(td, mv[0], td->ref[0], 0, mode, sb);
+    if (td->comp)
+        fill_mv_one(td, mv[1], td->ref[1], 1, mode, sb);
+}
+
+/* ------------------------------------------------------------------ */
+#include "vp9_entropy_block.h"
+#include "vp9_entropy_mode.h"
+#include "vp9_entropy_main.h"

@@ -1,0 +1,386 @@
+/*
+ * decode_block / decode_sb / tile loop + dense grid splats
+ * (included last by vp9_entropy.c).
+ */
+
+static void splat_grids(Td *td)
+{
+    Ctx *s = td->s;
+    int row = td->row, col = td->col;
+    int w4 = bwh_tab[1][td->bs][0] * 2, h4 = bwh_tab[1][td->bs][1] * 2;
+    int r0 = row * 2, c0 = col * 2;
+    int c16 = s->sb_cols * 16;
+    int c16u = c16 >> s->ss_h;
+    int ur0 = r0 >> s->ss_v, uc0 = c0 >> s->ss_h;
+    int uh4 = h4 >> s->ss_v; if (!uh4) uh4 = 1;
+    int uw4 = w4 >> s->ss_h; if (!uw4) uw4 = 1;
+
+    for (int y = 0; y < h4; y++)
+        memset(&s->txsz4[(r0 + y) * c16 + c0], td->tx, w4);
+    for (int y = 0; y < uh4; y++)
+        memset(&s->uvtx4[(ur0 + y) * c16u + uc0], td->uvtx, uw4);
+
+    if (td->intra) {
+        if (td->bs > BS_8x8 && td->tx == TX_4X4) {
+            for (int y = 0; y < h4; y++)
+                for (int x = 0; x < w4; x++) {
+                    int m = td->mode[(y & 1) * 2 + (x & 1)];
+                    s->txtype4[(r0 + y) * c16 + c0 + x] =
+                        s->t_intra_txfm_type[m];
+                }
+        } else {
+            int tt = s->t_intra_txfm_type[td->mode[0]];
+            for (int y = 0; y < h4; y++)
+                memset(&s->txtype4[(r0 + y) * c16 + c0], tt, w4);
+        }
+    } else {
+        for (int y = 0; y < h4; y++) {
+            memset(&s->txtype4[(r0 + y) * c16 + c0], 0, w4);
+            memset(&s->inter4[(r0 + y) * c16 + c0], 1, w4);
+            memset(&s->comp4[(r0 + y) * c16 + c0], td->comp, w4);
+            memset(&s->filter4[(r0 + y) * c16 + c0], td->filter, w4);
+            for (int x = 0; x < w4; x++) {
+                s->ref4[((r0 + y) * c16 + c0 + x) * 2 + 0] = td->ref[0];
+                s->ref4[((r0 + y) * c16 + c0 + x) * 2 + 1] =
+                    td->comp ? td->ref[1] : -1;
+            }
+        }
+        for (int y = 0; y < uh4; y++)
+            memset(&s->inter4uv[(ur0 + y) * c16u + uc0], 1, uw4);
+
+        if (td->bs <= BS_8x8) {
+            for (int ri = 0; ri < 2; ri++) {
+                for (int y = 0; y < h4; y++)
+                    for (int x = 0; x < w4; x++) {
+                        int16_t *m = &s->mv4[(((r0 + y) * c16 + c0 + x)
+                                              * 2 + ri) * 2];
+                        m[0] = (int16_t)td->mv[0][ri][0];
+                        m[1] = (int16_t)td->mv[0][ri][1];
+                    }
+                for (int y = 0; y < uh4; y++)
+                    for (int x = 0; x < uw4; x++) {
+                        int16_t *m = &s->uvmv4[(((ur0 + y) * c16u + uc0
+                                                 + x) * 2 + ri) * 2];
+                        m[0] = (int16_t)td->mv[0][ri][0];
+                        m[1] = (int16_t)td->mv[0][ri][1];
+                    }
+            }
+        } else {
+            int ss_h = s->ss_h, ss_v = s->ss_v;
+            for (int ri = 0; ri < 2; ri++) {
+                for (int dy = 0; dy < 2; dy++)
+                    for (int dx = 0; dx < 2; dx++) {
+                        int q = dy * 2 + dx;
+                        int16_t *m = &s->mv4[(((r0 + dy) * c16 + c0 + dx)
+                                              * 2 + ri) * 2];
+                        m[0] = (int16_t)td->mv[q][ri][0];
+                        m[1] = (int16_t)td->mv[q][ri][1];
+                    }
+#define SETUV(dy, dx, vx, vy) do { \
+    int16_t *m = &s->uvmv4[(((ur0 + (dy)) * c16u + uc0 + (dx)) * 2 + ri) \
+                           * 2]; \
+    m[0] = (int16_t)(vx); m[1] = (int16_t)(vy); } while (0)
+                if (td->bs == BS_8x4) {
+                    if (ss_v) {
+                        int ax = rdiv2(td->mv[0][ri][0], td->mv[2][ri][0]);
+                        int ay = rdiv2(td->mv[0][ri][1], td->mv[2][ri][1]);
+                        for (int dx = 0; dx < (2 >> ss_h); dx++)
+                            SETUV(0, dx, ax, ay);
+                    } else {
+                        int bx, by;
+                        if (ss_h == 0) {
+                            bx = td->mv[2][ri][0]; by = td->mv[2][ri][1];
+                        } else {
+                            bx = rdiv2(td->mv[0][ri][0], td->mv[2][ri][0]);
+                            by = rdiv2(td->mv[0][ri][1], td->mv[2][ri][1]);
+                        }
+                        for (int dx = 0; dx < (2 >> ss_h); dx++) {
+                            SETUV(0, dx, td->mv[0][ri][0],
+                                  td->mv[0][ri][1]);
+                            SETUV(1, dx, bx, by);
+                        }
+                    }
+                } else if (td->bs == BS_4x8) {
+                    if (ss_h) {
+                        int ax = rdiv2(td->mv[0][ri][0], td->mv[1][ri][0]);
+                        int ay = rdiv2(td->mv[0][ri][1], td->mv[1][ri][1]);
+                        for (int dy = 0; dy < (2 >> ss_v); dy++)
+                            SETUV(dy, 0, ax, ay);
+                    } else {
+                        for (int dy = 0; dy < (2 >> ss_v); dy++) {
+                            SETUV(dy, 0, td->mv[0][ri][0],
+                                  td->mv[0][ri][1]);
+                            SETUV(dy, 1, td->mv[1][ri][0],
+                                  td->mv[1][ri][1]);
+                        }
+                    }
+                } else { /* BS_4x4 */
+                    if (ss_v) {
+                        if (ss_h) {
+                            SETUV(0, 0,
+                                  rdiv4(td->mv[0][ri][0] + td->mv[1][ri][0]
+                                        + td->mv[2][ri][0]
+                                        + td->mv[3][ri][0]),
+                                  rdiv4(td->mv[0][ri][1] + td->mv[1][ri][1]
+                                        + td->mv[2][ri][1]
+                                        + td->mv[3][ri][1]));
+                        } else {
+                            SETUV(0, 0,
+                                  rdiv2(td->mv[0][ri][0],
+                                        td->mv[2][ri][0]),
+                                  rdiv2(td->mv[0][ri][1],
+                                        td->mv[2][ri][1]));
+                            SETUV(0, 1,
+                                  rdiv2(td->mv[1][ri][0],
+                                        td->mv[3][ri][0]),
+                                  rdiv2(td->mv[1][ri][1],
+                                        td->mv[3][ri][1]));
+                        }
+                    } else {
+                        if (ss_h) {
+                            SETUV(0, 0,
+                                  rdiv2(td->mv[0][ri][0],
+                                        td->mv[1][ri][0]),
+                                  rdiv2(td->mv[0][ri][1],
+                                        td->mv[1][ri][1]));
+                            /* BUG (kept): wrong index for 4:2:2 bottom */
+                            SETUV(1, 0,
+                                  rdiv2(td->mv[1][ri][0],
+                                        td->mv[2][ri][0]),
+                                  rdiv2(td->mv[1][ri][1],
+                                        td->mv[2][ri][1]));
+                        } else {
+                            for (int dy = 0; dy < 2; dy++)
+                                for (int dx = 0; dx < 2; dx++)
+                                    SETUV(dy, dx,
+                                          td->mv[dy * 2 + dx][ri][0],
+                                          td->mv[dy * 2 + dx][ri][1]);
+                        }
+                    }
+                }
+#undef SETUV
+            }
+        }
+    }
+
+    /* block record: 36 int16 slots */
+    if (s->n_blocks < s->max_blocks) {
+        int16_t *r = &s->blocks_out[s->n_blocks * 36];
+        r[0] = row; r[1] = col; r[2] = td->tile_col_start;
+        r[3] = td->bs; r[4] = td->seg_id; r[5] = td->skip;
+        r[6] = td->intra; r[7] = td->tx; r[8] = td->uvtx;
+        r[9] = td->mode[0]; r[10] = td->mode[1]; r[11] = td->mode[2];
+        r[12] = td->mode[3]; r[13] = td->uvmode; r[14] = td->comp;
+        r[15] = td->ref[0]; r[16] = td->ref[1]; r[17] = td->filter;
+        for (int q = 0; q < 4; q++) {
+            r[18 + q * 4] = (int16_t)td->mv[q][0][0];
+            r[19 + q * 4] = (int16_t)td->mv[q][0][1];
+            r[20 + q * 4] = (int16_t)td->mv[q][1][0];
+            r[21 + q * 4] = (int16_t)td->mv[q][1][1];
+        }
+        s->n_blocks++;
+    }
+}
+
+static void decode_block(Td *td, int row, int col, int bl, int bp)
+{
+    Ctx *s = td->s;
+    td->bs = bl * 3 + bp;
+    td->bl = bl;
+    td->bp = bp;
+    td->row = row; td->col = col;
+    td->row7 = row & 7;
+    int w4 = bwh_tab[1][td->bs][0], h4 = bwh_tab[1][td->bs][1];
+    td->min_mv_x = -(128 + col * 64);
+    td->min_mv_y = -(128 + row * 64);
+    td->max_mv_x = 128 + (s->cols - col - w4) * 64;
+    td->max_mv_y = 128 + (s->rows - row - h4) * 64;
+
+    decode_mode(td);
+    td->uvtx = td->tx - ((s->ss_h && w4 * 2 == (1 << td->tx)) ||
+                         (s->ss_v && h4 * 2 == (1 << td->tx)));
+
+    if (!td->skip) {
+        int has = decode_coeffs(td);
+        if (!has && td->bs <= BS_8x8 && !td->intra) {
+            td->skip = 1;
+            memset(&s->a_skip[col], 1, w4);
+            memset(&td->l_skip[td->row7], 1, h4);
+        }
+    } else {
+        memset(&s->a_ynnz[col * 2], 0, w4 * 2);
+        memset(&td->l_ynnz[td->row7 * 2], 0, h4 * 2);
+        if (s->ss_h) {
+            memset(&s->a_uvnnz0[col], 0, w4);
+            memset(&s->a_uvnnz1[col], 0, w4);
+        } else {
+            memset(&s->a_uvnnz0[col * 2], 0, w4 * 2);
+            memset(&s->a_uvnnz1[col * 2], 0, w4 * 2);
+        }
+        if (s->ss_v) {
+            memset(&td->l_uvnnz[0][td->row7], 0, h4);
+            memset(&td->l_uvnnz[1][td->row7], 0, h4);
+        } else {
+            memset(&td->l_uvnnz[0][td->row7 * 2], 0, h4 * 2);
+            memset(&td->l_uvnnz[1][td->row7 * 2], 0, h4 * 2);
+        }
+    }
+
+    splat_grids(td);
+
+    /* loop filter level + masks */
+    if (s->filter_level) {
+        int lvl = s->lflvl[td->seg_id]
+                          [td->intra ? 0 : td->ref[0] + 1]
+                          [td->mode[3] != ZEROMV];
+        if (lvl > 0) {
+            int x_end = s->cols - col < w4 ? s->cols - col : w4;
+            int y_end = s->rows - row < h4 ? s->rows - row : h4;
+            int skip_inter = !td->intra && td->skip;
+            int col7 = col & 7, row7 = td->row7;
+            int sbr = row >> 3, sbc = col >> 3;
+            uint8_t *lv = &s->lf_level[(sbr * s->sb_cols + sbc) * 64];
+            for (int y = 0; y < h4; y++)
+                memset(&lv[(row7 + y) * 8 + col7], lvl, w4);
+            int32_t *m0 = &s->lf_mask[(((sbr * s->sb_cols + sbc) * 2 + 0)
+                                       * 2) * 32];
+            mask_edges(m0, 0, 0, row7, col7, x_end, y_end, 0, 0, td->tx,
+                       skip_inter);
+            if (s->ss_h | s->ss_v) {
+                int32_t *m1 = &s->lf_mask[(((sbr * s->sb_cols + sbc) * 2
+                                            + 1) * 2) * 32];
+                mask_edges(m1, s->ss_h, s->ss_v, row7, col7, x_end, y_end,
+                           (s->cols & 1) && col + w4 >= s->cols
+                               ? (s->cols & 7) : 0,
+                           (s->rows & 1) && row + h4 >= s->rows
+                               ? (s->rows & 7) : 0,
+                           td->uvtx, skip_inter);
+            }
+        }
+    }
+}
+
+static void decode_sb(Td *td, int row, int col, int bl)
+{
+    Ctx *s = td->s;
+    int ctx = ((s->a_partition[col] >> (3 - bl)) & 1) |
+              (((td->l_partition[row & 7] >> (3 - bl)) & 1) << 1);
+    const uint8_t *p = (s->keyframe || s->intraonly)
+        ? &s->t_kf_part_probs[(bl * 4 + ctx) * 3]
+        : &s->p_partition[(bl * 4 + ctx) * 3];
+    int hbs = 4 >> bl;
+    int bp;
+
+    if (bl == 3) {
+        bp = bd_tree(td->c, (const int8_t (*)[2])s->t_partition_tree, p);
+        decode_block(td, row, col, bl, bp);
+    } else if (col + hbs < s->cols) {
+        if (row + hbs < s->rows) {
+            bp = bd_tree(td->c, (const int8_t (*)[2])s->t_partition_tree,
+                         p);
+            switch (bp) {
+            case 0: decode_block(td, row, col, bl, bp); break;
+            case 1:
+                decode_block(td, row, col, bl, bp);
+                decode_block(td, row + hbs, col, bl, bp);
+                break;
+            case 2:
+                decode_block(td, row, col, bl, bp);
+                decode_block(td, row, col + hbs, bl, bp);
+                break;
+            default:
+                decode_sb(td, row, col, bl + 1);
+                decode_sb(td, row, col + hbs, bl + 1);
+                decode_sb(td, row + hbs, col, bl + 1);
+                decode_sb(td, row + hbs, col + hbs, bl + 1);
+            }
+        } else if (bd_prob(td->c, p[1])) {
+            bp = 3;
+            decode_sb(td, row, col, bl + 1);
+            decode_sb(td, row, col + hbs, bl + 1);
+        } else {
+            bp = 1;
+            decode_block(td, row, col, bl, bp);
+        }
+    } else if (row + hbs < s->rows) {
+        if (bd_prob(td->c, p[2])) {
+            bp = 3;
+            decode_sb(td, row, col, bl + 1);
+            decode_sb(td, row + hbs, col, bl + 1);
+        } else {
+            bp = 2;
+            decode_block(td, row, col, bl, bp);
+        }
+    } else {
+        bp = 3;
+        decode_sb(td, row, col, bl + 1);
+    }
+    s->c_partition[(bl * 4 + ctx) * 4 + bp]++;
+}
+
+static void reset_left(Td *td)
+{
+    Ctx *s = td->s;
+    memset(td->l_partition, 0, 8);
+    memset(td->l_skip, 0, 8);
+    if (s->keyframe || s->intraonly)
+        memset(td->l_mode, DC_PRED, 16);
+    else
+        memset(td->l_mode, NEARESTMV, 8);
+    memset(td->l_ynnz, 0, 16);
+    memset(td->l_uvnnz, 0, 32);
+    memset(td->l_segpred, 0, 8);
+}
+
+/* entry point: decode all tiles. Returns 0 or negative error. */
+int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
+{
+    static Td td_s;  /* large; avoid stack */
+    Td *td = &td_s;
+    memset(td, 0, sizeof(*td));
+    td->s = s;
+    s->n_blocks = 0;
+    s->error = 0;
+
+    BoolDec coders[64];
+    int pos = 0;
+
+    for (int tile_row = 0; tile_row < s->tile_rows; tile_row++) {
+        int row_start = ((tile_row * s->sb_rows) >> s->log2_tile_rows) * 8;
+        int row_end = (((tile_row + 1) * s->sb_rows) >> s->log2_tile_rows)
+                      * 8;
+        for (int tile_col = 0; tile_col < s->tile_cols; tile_col++) {
+            int tsz;
+            if (tile_col == s->tile_cols - 1 &&
+                tile_row == s->tile_rows - 1) {
+                tsz = size - pos;
+            } else {
+                if (pos + 4 > size) return -1;
+                tsz = (data[pos] << 24) | (data[pos + 1] << 16) |
+                      (data[pos + 2] << 8) | data[pos + 3];
+                pos += 4;
+            }
+            if (tsz < 0 || tsz > size - pos) return -1;
+            bd_init(&coders[tile_col], data + pos, tsz);
+            if (bd_bit(&coders[tile_col])) return -1;
+            pos += tsz;
+        }
+        for (int row = row_start; row < row_end; row += 8) {
+            for (int tile_col = 0; tile_col < s->tile_cols; tile_col++) {
+                int col_start =
+                    ((tile_col * s->sb_cols) >> s->log2_tile_cols) * 8;
+                int col_end =
+                    (((tile_col + 1) * s->sb_cols) >> s->log2_tile_cols)
+                    * 8;
+                td->tile_col_start = col_start;
+                reset_left(td);
+                td->c = &coders[tile_col];
+                for (int col = col_start; col < col_end; col += 8) {
+                    if (bd_is_end(td->c)) return -2;
+                    decode_sb(td, row, col, 0);
+                }
+            }
+        }
+    }
+    return 0;
+}
