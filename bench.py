@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark: VP9 1080p decode throughput on one TPU chip.
+
+Pipeline: native C pass-A entropy decode -> TPU (JAX/XLA) pass-B recon
+(batched inverse transforms, per-cell MC, intra matmul wavefront) ->
+native loop filter. Bit-exactness is asserted against the reference
+decoder's framemd5 while timing.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 60 fps/chip at 1080p (BASELINE.json).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jaxcache"))
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+VEC = os.path.join(ROOT, "vectors", "bench_1080p.ivf")
+REF = os.path.join(ROOT, "vectors", "bench_1080p.framemd5")
+
+
+def main():
+    import hashlib
+
+    from ffmpeg_hybrid_tpu.formats.ivf import read_ivf
+    from ffmpeg_hybrid_tpu.formats.superframe import split_superframe
+    from ffmpeg_hybrid_tpu.formats.framemd5 import parse_framemd5
+    from ffmpeg_hybrid_tpu.codecs.vp9.decoder import VP9Decoder
+
+    ref = parse_framemd5(REF) if os.path.exists(REF) else None
+    dec = VP9Decoder(recon_backend="tpu")
+    info, pkts = read_ivf(VEC)
+    packets = []
+    for pts, data in pkts:
+        packets.extend(fd for _, fd in split_superframe(data, pts))
+
+    WARMUP = 2
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    n = 0
+    bitexact = True
+    t_start = None
+    timed_frames = 0
+    for i, fd in enumerate(packets):
+        if i == WARMUP:
+            t_start = time.time()
+        for f in dec.decode(fd):
+            raw = f.to_bytes()
+            if ref is not None and n < len(ref):
+                if hashlib.md5(raw).hexdigest() != ref[n][1]:
+                    bitexact = False
+            n += 1
+            if i >= WARMUP:
+                timed_frames += 1
+        if t_start is not None and time.time() - t_start > budget_s:
+            break
+    dt = time.time() - t_start if t_start else 1.0
+    fps = timed_frames / dt if dt > 0 else 0.0
+    if not bitexact:
+        fps = 0.0  # a wrong decode doesn't count
+    print(json.dumps({
+        "metric": "vp9_decode_1080p_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

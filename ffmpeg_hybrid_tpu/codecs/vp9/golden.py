@@ -199,6 +199,10 @@ def loopfilter_frame(s):
     h = s.header
     if not h.filter_level:
         return
+    if getattr(s, "use_native", False):
+        from ...passa_native import loopfilter_frame_native
+        if loopfilter_frame_native(s):
+            return
     planes = s.cur_frame_obj.planes
     for sbr in range(s.sb_rows):
         for sbc in range(s.sb_cols):

@@ -329,3 +329,23 @@ def decode_tiles_native(s, data: bytes) -> bool:
         blks.append((int(r[0]), int(r[1]), int(r[2]), b))
     s.blocks = blks
     return True
+
+
+def loopfilter_frame_native(s) -> bool:
+    """Run the native loop filter over the current frame's int32 planes."""
+    if not available():
+        return False
+    h = s.header
+    cur = s.cur_frame_obj
+    py, pu, pv = cur.planes
+    lim = np.ascontiguousarray(s.lim_lut.astype(np.int32))
+    mblim = np.ascontiguousarray(s.mblim_lut.astype(np.int32))
+    lib().vp9_loopfilter_frame(
+        _p(py, i32p), _p(pu, i32p), _p(pv, i32p),
+        C.c_int(py.shape[1]), C.c_int(py.shape[0]),
+        C.c_int(pu.shape[1]), C.c_int(pu.shape[0]),
+        _p(s.lf_level, u8p), _p(s.lf_mask, i32p),
+        C.c_int(s.sb_rows), C.c_int(s.sb_cols),
+        C.c_int(s.ss_h), C.c_int(s.ss_v),
+        _p(lim, i32p), _p(mblim, i32p), C.c_int(h.bpp))
+    return True
