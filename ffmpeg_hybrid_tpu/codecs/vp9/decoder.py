@@ -45,8 +45,20 @@ class Frame:
         self.seg_map = np.zeros((sb_rows * 8, sb_cols * 8), np.uint8)
         self.mv = np.zeros((sb_rows * 8, sb_cols * 8, 2, 2), np.int16)
         self.refs = np.full((sb_rows * 8, sb_cols * 8, 2), -1, np.int8)
+        # device-resident planes (set by the TPU backend; host `planes`
+        # are synced lazily on first pixel access)
+        self.dev = None
+        self._host_stale = False
+
+    def sync_host(self):
+        if self._host_stale and self.dev is not None:
+            for i in range(3):
+                self.planes[i][...] = np.asarray(self.dev[i]
+                                                 ).astype(np.int32)
+            self._host_stale = False
 
     def crop(self):
+        self.sync_host()
         w, h = self.size
         y = self.planes[0][:h, :w]
         cw = (w + self.ss_h) >> self.ss_h

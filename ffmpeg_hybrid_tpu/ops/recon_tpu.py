@@ -12,8 +12,11 @@ properly, reference: vp9_webgpu.c:2956; SURVEY §7 plan):
   3. intra wavefront — host-computed dependency levels; per level the
                        tx blocks' edges are gathered and predicted with
                        one exact f32 matmul (ops/intra_tables) + TM special
-  4. loop filter     — host (numpy golden) this round; TPU wavefront LF
-                       is the next optimization stage
+  4. loop filter     — wavefront replay on device (ops/lpf_tpu): the
+                       native walker records the exact edge sequence,
+                       anti-diagonal superblock waves are batched, and a
+                       single lax.scan applies them; frame planes stay
+                       device-resident across frames (refs included)
 
 All integer math matches the golden path bit-exactly (tested by decoding
 the conformance vectors with recon_backend='tpu').
@@ -305,18 +308,14 @@ def _edge_spec(m, sz, py, px, Wp, have_top, have_left, have_right,
     return idx, cmask, cval
 
 
-@partial(jax.jit, static_argnames=("sz", "bpp"))
-def _intra_level_step(plane, residual, eidx, emask, econst, modes, pys,
-                      pxs, sz, bpp):
-    """Process one wavefront level for one tx size.
-    plane: [Hp, Wp] int32 (updated); residual: same shape.
-    eidx/emask/econst: [N, ne]; modes/pys/pxs: [N]."""
-    Hp, Wp = plane.shape
+def _intra_batch_apply(plane, residual, d, sz, bpp):
+    """Predict + residual-add + scatter one batch of same-size tx blocks.
+    d: dict with eidx/emask/econst [N, ne], modes/pys/pxs [N]."""
     maxp = (1 << bpp) - 1
     flat = plane.reshape(-1)
-    e = jnp.where(emask, econst, flat[eidx])  # [N, ne] int32
+    e = jnp.where(d["emask"], d["econst"], flat[d["eidx"]])
     Wall = jnp.asarray(it.build_all(sz), jnp.float32)  # [15, ne, P]
-    Wsel = Wall[modes]  # [N, ne, P]
+    Wsel = Wall[d["modes"]]
     pred = jnp.floor((jnp.einsum(
         "ne,nep->np", e.astype(jnp.float32), Wsel,
         preferred_element_type=jnp.float32) + 32) / 64).astype(jnp.int32)
@@ -327,51 +326,68 @@ def _intra_level_step(plane, residual, eidx, emask, econst, modes, pys,
     top = e[:, 1:1 + sz][:, None, :]
     left = e[:, 1 + ta:1 + ta + sz][:, ::-1][:, :, None]
     tm = jnp.clip(top + left - tl, 0, maxp)
-    pred = jnp.where((modes == 9)[:, None, None], tm, pred)
-    # add residual, clip, scatter
-    rr = pys[:, None, None] + jnp.arange(sz)[None, :, None]
-    cc = pxs[:, None, None] + jnp.arange(sz)[None, None, :]
+    pred = jnp.where((d["modes"] == 9)[:, None, None], tm, pred)
+    rr = d["pys"][:, None, None] + jnp.arange(sz)[None, :, None]
+    cc = d["pxs"][:, None, None] + jnp.arange(sz)[None, None, :]
     res = residual[rr, cc]
     out = jnp.clip(pred + res, 0, maxp)
     return plane.at[rr, cc].set(out, mode="drop")
 
 
-def _pad_to_bucket(n):
-    b = 1
+@partial(jax.jit, static_argnames=("szs", "bpp"))
+def _intra_scan(plane, residual, xs, szs, bpp):
+    """lax.scan over wavefront levels; each step applies one batch per
+    tx size (sizes within a level are independent)."""
+    def body(pl, x):
+        for sz in szs:
+            pl = _intra_batch_apply(pl, residual, x[str(sz)], sz, bpp)
+        return pl, None
+    plane, _ = jax.lax.scan(body, plane, xs)
+    return plane
+
+
+def _pad_to_bucket(n, base=8, mult=4):
+    """Coarse shape buckets to bound jit-compile variety."""
+    b = base
     while b < n:
-        b *= 2
+        b *= mult
     return b
 
 
-def run_intra_plane(s, plane_idx, plane_dev, residual_dev):
-    """Run the intra wavefront for one plane. Returns updated device
-    plane."""
+def run_intra_plane(s, plane_dev, residual_dev, levels):
+    """Run the intra wavefront for one plane as a single scanned kernel."""
     bpp = s.header.bpp
-    levels = _build_intra_schedule(s, plane_idx)
     Hp, Wp = plane_dev.shape
-    for level in levels:
-        for sz, entries in level.items():
-            n = len(entries)
-            nb = _pad_to_bucket(n)
-            ne = it.edge_len(sz)
-            eidx = np.zeros((nb, ne), np.int32)
-            emask = np.ones((nb, ne), bool)
-            econst = np.zeros((nb, ne), np.int32)
-            modes = np.zeros(nb, np.int32)
-            pys = np.full(nb, Hp + 64, np.int32)  # padded -> dropped
-            pxs = np.full(nb, Wp + 64, np.int32)
-            for i, (py, px, m, ei, em, ec) in enumerate(entries):
-                eidx[i] = ei
-                emask[i] = em
-                econst[i] = ec
-                modes[i] = m
-                pys[i] = py
-                pxs[i] = px
-            plane_dev = _intra_level_step(
-                plane_dev, residual_dev, jnp.asarray(eidx),
-                jnp.asarray(emask), jnp.asarray(econst), jnp.asarray(modes),
-                jnp.asarray(pys), jnp.asarray(pxs), sz, bpp)
-    return plane_dev
+    if not levels:
+        return plane_dev
+    szs = sorted({sz for lvl in levels for sz in lvl})
+    L = _pad_to_bucket(len(levels), base=32, mult=2)
+    xs = {}
+    for sz in szs:
+        ne = it.edge_len(sz)
+        nmax = _pad_to_bucket(max(len(lvl.get(sz, [])) for lvl in levels),
+                              base=8, mult=2)
+        eidx = np.zeros((L, nmax, ne), np.int32)
+        emask = np.ones((L, nmax, ne), bool)
+        econst = np.zeros((L, nmax, ne), np.int32)
+        modes = np.zeros((L, nmax), np.int32)
+        pys = np.full((L, nmax), Hp + 64, np.int32)  # padded -> dropped
+        pxs = np.full((L, nmax), Wp + 64, np.int32)
+        for li, lvl in enumerate(levels):
+            for i, (py, px, m, ei, em, ec) in enumerate(lvl.get(sz, [])):
+                eidx[li, i] = ei
+                emask[li, i] = em
+                econst[li, i] = ec
+                modes[li, i] = m
+                pys[li, i] = py
+                pxs[li, i] = px
+        xs[str(sz)] = {"eidx": jnp.asarray(eidx),
+                       "emask": jnp.asarray(emask),
+                       "econst": jnp.asarray(econst),
+                       "modes": jnp.asarray(modes),
+                       "pys": jnp.asarray(pys),
+                       "pxs": jnp.asarray(pxs)}
+    return _intra_scan(plane_dev, residual_dev, xs, tuple(szs), bpp)
 
 
 # ---------------------------------------------------------------------------
@@ -390,7 +406,9 @@ def recon_frame(s):
 
     cur = s.cur_frame_obj
     dt = jnp.int32 if bpp == 8 else jnp.int64
+    out_dt = jnp.uint8 if bpp == 8 else jnp.uint16
 
+    outs = []
     for plane_idx in range(3):
         if plane_idx == 0:
             coef, eob4 = s.coef_y, s.eob_y
@@ -407,22 +425,25 @@ def recon_frame(s):
             mvg = np.stack([mvg[..., 0] * (1 << (1 - h.ss_h)),
                             mvg[..., 1] * (1 << (1 - h.ss_v))], axis=-1)
 
-        residual = residual_plane(jnp.asarray(coef, dt),
-                                  jnp.asarray(eob4), jnp.asarray(txsz4),
-                                  jnp.asarray(txtype4), bool(h.lossless),
-                                  bpp)
+        has_inter = bool(inter4.any())
         plane_dev = jnp.asarray(cur.planes[plane_idx], jnp.int32)
-
-        if inter4.any():
+        if has_inter:
             w, hh = cur.size
             if plane_idx:
                 w = (w + h.ss_h) >> h.ss_h
                 hh = (hh + h.ss_v) >> h.ss_v
-            refstack = np.stack([
-                (s.refs[h.refidx[i]].planes[plane_idx]
-                 if s.refs[h.refidx[i]] is not None
-                 else np.zeros_like(cur.planes[plane_idx]))
-                for i in range(3)], axis=0)
+            # reference planes stay device-resident across frames
+            refplanes = []
+            for i in range(3):
+                rf = s.refs[h.refidx[i]]
+                if rf is None:
+                    refplanes.append(jnp.zeros_like(plane_dev))
+                elif rf.dev is not None:
+                    refplanes.append(rf.dev[plane_idx])
+                else:
+                    refplanes.append(jnp.asarray(rf.planes[plane_idx],
+                                                 jnp.int32))
+            refstack = jnp.stack(refplanes, axis=0)
             if plane_idx == 0:
                 refsel = np.clip(s.ref4, 0, 2).astype(np.int32)
                 comp = s.comp4
@@ -433,22 +454,80 @@ def recon_frame(s):
                 refsel = np.clip(s.ref4[::sv, ::sh], 0, 2).astype(np.int32)
                 comp = s.comp4[::sv, ::sh]
                 filt = s.filter4[::sv, ::sh].astype(np.int32)
-            mcres = _mc_cells(jnp.asarray(refstack, jnp.int32),
-                              jnp.asarray(mvg), jnp.asarray(refsel),
-                              jnp.asarray(comp), jnp.asarray(filt),
-                              jnp.asarray(inter4), w, hh, bpp)
-            maxp = (1 << bpp) - 1
-            mcfull = jnp.clip(mcres + residual[:mcres.shape[0],
-                                               :mcres.shape[1]], 0, maxp)
-            mask = jnp.repeat(jnp.repeat(jnp.asarray(inter4), 4, 0), 4, 1)
-            plane_dev = plane_dev.at[:mcres.shape[0], :mcres.shape[1]].set(
-                jnp.where(mask, mcfull,
-                          plane_dev[:mcres.shape[0], :mcres.shape[1]]))
+            plane_dev, residual = _recon_plane_inter(
+                plane_dev, jnp.asarray(coef, dt), jnp.asarray(eob4),
+                jnp.asarray(txsz4), jnp.asarray(txtype4),
+                refstack, jnp.asarray(mvg),
+                jnp.asarray(refsel), jnp.asarray(comp),
+                jnp.asarray(filt), jnp.asarray(inter4), w, hh,
+                bool(h.lossless), bpp)
+        else:
+            residual = residual_plane(
+                jnp.asarray(coef, dt), jnp.asarray(eob4),
+                jnp.asarray(txsz4), jnp.asarray(txtype4),
+                bool(h.lossless), bpp).astype(jnp.int32)
 
-        plane_dev = run_intra_plane(s, plane_idx, plane_dev,
-                                    residual.astype(jnp.int32))
-        cur.planes[plane_idx][...] = np.asarray(plane_dev)
+        levels = _build_intra_schedule(s, plane_idx) if plane_idx < 2 \
+            else s._uv_levels
+        if plane_idx == 1:
+            s._uv_levels = levels  # U and V share geometry/modes
+        plane_dev = run_intra_plane(s, plane_dev, residual, levels)
+        outs.append(plane_dev)
 
-    # loop filter: host golden this round
-    from ..codecs.vp9 import golden
-    golden.loopfilter_frame(s)
+    # loop filter on device: replay the native walker's recorded edge
+    # sequence as a wavefront scan (planes never leave the device)
+    lf_done = False
+    if h.filter_level and getattr(s, "use_native", False):
+        try:
+            from ..passa_native import lpf_record_native
+            from . import lpf_tpu
+            y_rec, ny, uv_rec, nuv = lpf_record_native(s)
+            ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
+            uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
+            if ny:
+                y = lpf_tpu._lf_scan(outs[0][None], jnp.asarray(ysteps),
+                                     bpp)[0]
+            else:
+                y = outs[0]
+            if nuv:
+                uv = lpf_tpu._lf_scan(jnp.stack([outs[1], outs[2]]),
+                                      jnp.asarray(uvsteps), bpp)
+                u, v = uv[0], uv[1]
+            else:
+                u, v = outs[1], outs[2]
+            outs = [y, u, v]
+            lf_done = True
+        except OSError:
+            pass
+
+    cur.dev = outs
+    cur._host_stale = True
+
+    if not lf_done and h.filter_level:
+        # fallback: pull planes and run the host loop filter
+        cur.sync_host()
+        cur.dev = None
+        from ..codecs.vp9 import golden
+        golden.loopfilter_frame(s)
+
+
+@partial(jax.jit, static_argnames=("w", "hh", "lossless", "bpp"))
+def _recon_plane_inter(plane, coef, eob4, txsz4, txtype4, refstack, mv16,
+                       refsel, comp, filt, inter4, w, hh, lossless, bpp):
+    """Fused inter pass: residual transforms + per-cell MC + apply."""
+    residual = jnp.zeros(coef.shape, coef.dtype)
+    if lossless:
+        residual = _residual_for_size(coef, eob4, txsz4, txtype4, 0, True,
+                                      bpp, *coef.shape)
+    else:
+        for tx in range(4):
+            residual = residual + _residual_for_size(
+                coef, eob4, txsz4, txtype4, tx, False, bpp, *coef.shape)
+    residual = residual.astype(jnp.int32)
+    mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w, hh, bpp)
+    maxp = (1 << bpp) - 1
+    mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0, maxp)
+    mask = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)
+    plane = plane.at[:mc.shape[0], :mc.shape[1]].set(
+        jnp.where(mask, mcfull, plane[:mc.shape[0], :mc.shape[1]]))
+    return plane, residual

@@ -349,3 +349,24 @@ def loopfilter_frame_native(s) -> bool:
         C.c_int(s.ss_h), C.c_int(s.ss_v),
         _p(lim, i32p), _p(mblim, i32p), C.c_int(h.bpp))
     return True
+
+
+def lpf_record_native(s):
+    """Record the loop-filter edge-call sequence for the TPU replay.
+    Returns (y_recs, ny, uv_recs, nuv) int16 [n, 8] arrays."""
+    h = s.header
+    y_max = uv_max = 1 << 19
+    y_rec = np.zeros((y_max, 8), np.int16)
+    uv_rec = np.zeros((uv_max, 8), np.int16)
+    ny = C.c_int32(0)
+    nuv = C.c_int32(0)
+    lim = np.ascontiguousarray(s.lim_lut.astype(np.int32))
+    mblim = np.ascontiguousarray(s.mblim_lut.astype(np.int32))
+    lib().vp9_lpf_record(
+        _p(s.lf_level, u8p), _p(s.lf_mask, i32p),
+        C.c_int(s.sb_rows), C.c_int(s.sb_cols),
+        C.c_int(s.ss_h), C.c_int(s.ss_v),
+        _p(lim, i32p), _p(mblim, i32p), C.c_int(h.bpp),
+        _p(y_rec, i16p), C.c_int(y_max), C.byref(ny),
+        _p(uv_rec, i16p), C.c_int(uv_max), C.byref(nuv))
+    return y_rec, ny.value, uv_rec, nuv.value

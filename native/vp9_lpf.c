@@ -13,7 +13,15 @@ static inline int lclip(int v, int lo, int hi)
 /* filter 8 (or nlanes) lanes at an edge.
  * dir 0: vertical edge at column px, lanes = rows py..py+nlanes-1
  * dir 1: horizontal edge at row py, lanes = cols px..px+nlanes-1 */
-static void lf_apply(int32_t *plane, int W, int H, int py, int px,
+typedef struct {
+    int32_t *plane;
+    int W, H, bpp;
+    /* record mode */
+    int16_t *rec;       /* [n][8]: sb, py, px, dir, wd, E, I, H */
+    int rec_max, rec_n, rec_sb, recording;
+} LfCtx;
+
+static void lf_filter_edge(int32_t *plane, int W, int H, int py, int px,
                      int dir, int wd, int E, int I, int Hthr, int bpp,
                      int nlanes)
 {
@@ -138,7 +146,30 @@ static void lf_apply(int32_t *plane, int W, int H, int py, int px,
     }
 }
 
-static void lf_cols(int32_t *plane, int W, int H, int base_y, int base_x,
+static void lf_apply(LfCtx *c, int py, int px, int dir, int wd,
+                     int E, int I, int Hthr, int nlanes)
+{
+    if (c->recording) {
+        /* split 16-lane calls into two 8-lane records */
+        int parts = nlanes > 8 ? 2 : 1;
+        for (int p = 0; p < parts; p++) {
+            if (c->rec_n < c->rec_max) {
+                int16_t *r = &c->rec[c->rec_n * 8];
+                r[0] = c->rec_sb;
+                r[1] = py + (dir == 0 ? p * 8 : 0);
+                r[2] = px + (dir == 1 ? p * 8 : 0);
+                r[3] = dir; r[4] = wd; r[5] = E; r[6] = I;
+                r[7] = Hthr;
+                c->rec_n++;
+            }
+        }
+        return;
+    }
+    lf_filter_edge(c->plane, c->W, c->H, py, px, dir, wd, E, I,
+                   Hthr, c->bpp, nlanes);
+}
+
+static void lf_cols(LfCtx *lc, int base_y, int base_x,
                     int col, int ss_h, int ss_v, const uint8_t *level,
                     const int32_t *mask /* [8][4] */,
                     const int32_t *lim, const int32_t *mblim, int bpp)
@@ -161,29 +192,25 @@ static void lf_cols(int32_t *plane, int W, int H, int base_y, int base_x,
                     int E = mblim[L], I = lim[L];
                     if (h1[0] & x) {
                         if (h2[0] & x)
-                            lf_apply(plane, W, H, py, px, 0, 16, E, I, Hh,
-                                     bpp, 16);
+                            lf_apply(lc, py, px, 0, 16, E, I, Hh, 16);
                         else
-                            lf_apply(plane, W, H, py, px, 0, 16, E, I, Hh,
-                                     bpp, 8);
+                            lf_apply(lc, py, px, 0, 16, E, I, Hh, 8);
                     } else if (hm2 & x) {
                         int wd1 = (h1[1] & x) ? 8 : 4;
                         int wd2 = (h2[1] & x) ? 8 : 4;
-                        lf_apply(plane, W, H, py, px, 0, wd1, E, I, Hh,
-                                 bpp, 8);
+                        lf_apply(lc, py, px, 0, wd1, E, I, Hh, 8);
                         int L2 = level[l + (8 << ss_v)];
-                        lf_apply(plane, W, H, py + 8, px, 0, wd2,
-                                 mblim[L2], lim[L2], L2 >> 4, bpp, 8);
+                        lf_apply(lc, py + 8, px, 0, wd2,
+                                 mblim[L2], lim[L2], L2 >> 4, 8);
                     } else {
                         int wd1 = (h1[1] & x) ? 8 : 4;
-                        lf_apply(plane, W, H, py, px, 0, wd1, E, I, Hh,
-                                 bpp, 8);
+                        lf_apply(lc, py, px, 0, wd1, E, I, Hh, 8);
                     }
                 } else if (hm2 & x) {
                     int L = level[l + (8 << ss_v)];
                     int wd2 = (h2[1] & x) ? 8 : 4;
-                    lf_apply(plane, W, H, py + 8, px, 0, wd2, mblim[L],
-                             lim[L], L >> 4, bpp, 8);
+                    lf_apply(lc, py + 8, px, 0, wd2, mblim[L],
+                             lim[L], L >> 4, 8);
                 }
             }
             if (ss_h) {
@@ -191,17 +218,17 @@ static void lf_cols(int32_t *plane, int W, int H, int base_y, int base_x,
             } else {
                 if (hm13 & x) {
                     int L = level[l];
-                    lf_apply(plane, W, H, py, px + 4, 0, 4, mblim[L],
-                             lim[L], L >> 4, bpp, 8);
+                    lf_apply(lc, py, px + 4, 0, 4, mblim[L],
+                             lim[L], L >> 4, 8);
                     if (hm23 & x) {
                         int L2 = level[l + (8 << ss_v)];
-                        lf_apply(plane, W, H, py + 8, px + 4, 0, 4,
-                                 mblim[L2], lim[L2], L2 >> 4, bpp, 8);
+                        lf_apply(lc, py + 8, px + 4, 0, 4,
+                                 mblim[L2], lim[L2], L2 >> 4, 8);
                     }
                 } else if (hm23 & x) {
                     int L = level[l + (8 << ss_v)];
-                    lf_apply(plane, W, H, py + 8, px + 4, 0, 4, mblim[L],
-                             lim[L], L >> 4, bpp, 8);
+                    lf_apply(lc, py + 8, px + 4, 0, 4, mblim[L],
+                             lim[L], L >> 4, 8);
                 }
                 l++;
             }
@@ -209,7 +236,7 @@ static void lf_cols(int32_t *plane, int W, int H, int base_y, int base_x,
     }
 }
 
-static void lf_rows(int32_t *plane, int W, int H, int base_y, int base_x,
+static void lf_rows(LfCtx *lc, int base_y, int base_x,
                     int row, int ss_h, int ss_v, const uint8_t *level,
                     const int32_t *mask, const int32_t *lim,
                     const int32_t *mblim, int bpp)
@@ -230,45 +257,41 @@ static void lf_rows(int32_t *plane, int W, int H, int base_y, int base_x,
                     int E = mblim[L], I = lim[L];
                     if (vm_[0] & x) {
                         if (vm_[0] & x2)
-                            lf_apply(plane, W, H, py, px, 1, 16, E, I, Hh,
-                                     bpp, 16);
+                            lf_apply(lc, py, px, 1, 16, E, I, Hh, 16);
                         else
-                            lf_apply(plane, W, H, py, px, 1, 16, E, I, Hh,
-                                     bpp, 8);
+                            lf_apply(lc, py, px, 1, 16, E, I, Hh, 8);
                     } else if (vm & x2) {
                         int wd1 = (vm_[1] & x) ? 8 : 4;
                         int wd2 = (vm_[1] & x2) ? 8 : 4;
-                        lf_apply(plane, W, H, py, px, 1, wd1, E, I, Hh,
-                                 bpp, 8);
+                        lf_apply(lc, py, px, 1, wd1, E, I, Hh, 8);
                         int L2 = level[l + 1 + ss_h];
-                        lf_apply(plane, W, H, py, px + 8, 1, wd2,
-                                 mblim[L2], lim[L2], L2 >> 4, bpp, 8);
+                        lf_apply(lc, py, px + 8, 1, wd2,
+                                 mblim[L2], lim[L2], L2 >> 4, 8);
                     } else {
                         int wd1 = (vm_[1] & x) ? 8 : 4;
-                        lf_apply(plane, W, H, py, px, 1, wd1, E, I, Hh,
-                                 bpp, 8);
+                        lf_apply(lc, py, px, 1, wd1, E, I, Hh, 8);
                     }
                 } else if (vm & x2) {
                     int L = level[l + 1 + ss_h];
                     int wd2 = (vm_[1] & x2) ? 8 : 4;
-                    lf_apply(plane, W, H, py, px + 8, 1, wd2, mblim[L],
-                             lim[L], L >> 4, bpp, 8);
+                    lf_apply(lc, py, px + 8, 1, wd2, mblim[L],
+                             lim[L], L >> 4, 8);
                 }
             }
             if (!ss_v) {
                 if (vm3 & x) {
                     int L = level[l];
-                    lf_apply(plane, W, H, py + 4, px, 1, 4, mblim[L],
-                             lim[L], L >> 4, bpp, 8);
+                    lf_apply(lc, py + 4, px, 1, 4, mblim[L],
+                             lim[L], L >> 4, 8);
                     if (vm3 & x2) {
                         int L2 = level[l + 1 + ss_h];
-                        lf_apply(plane, W, H, py + 4, px + 8, 1, 4,
-                                 mblim[L2], lim[L2], L2 >> 4, bpp, 8);
+                        lf_apply(lc, py + 4, px + 8, 1, 4,
+                                 mblim[L2], lim[L2], L2 >> 4, 8);
                     }
                 } else if (vm3 & x2) {
                     int L = level[l + 1 + ss_h];
-                    lf_apply(plane, W, H, py + 4, px + 8, 1, 4, mblim[L],
-                             lim[L], L >> 4, bpp, 8);
+                    lf_apply(lc, py + 4, px + 8, 1, 4, mblim[L],
+                             lim[L], L >> 4, 8);
                 }
             }
         }
@@ -286,25 +309,63 @@ void vp9_loopfilter_frame(int32_t *py_, int32_t *pu, int32_t *pv,
                           int bpp)
 {
     int uvidx = (ss_h | ss_v) ? 1 : 0;
+    LfCtx cy = { py_, Wy, Hy, bpp, 0, 0, 0, 0, 0 };
+    LfCtx cu = { pu, Wuv, Huv, bpp, 0, 0, 0, 0, 0 };
+    LfCtx cv = { pv, Wuv, Huv, bpp, 0, 0, 0, 0, 0 };
     for (int sbr = 0; sbr < sb_rows; sbr++) {
         for (int sbc = 0; sbc < sb_cols; sbc++) {
             const uint8_t *lv = &lf_level[(sbr * sb_cols + sbc) * 64];
             const int32_t *mk = &lf_mask[(sbr * sb_cols + sbc) * 128];
             int row = sbr * 8, col = sbc * 8;
             int y0 = row * 8, x0 = col * 8;
-            lf_cols(py_, Wy, Hy, y0, x0, col, 0, 0, lv, mk + 0 * 32, lim,
+            lf_cols(&cy, y0, x0, col, 0, 0, lv, mk + 0 * 32, lim,
                     mblim, bpp);
-            lf_rows(py_, Wy, Hy, y0, x0, row, 0, 0, lv, mk + 1 * 32, lim,
+            lf_rows(&cy, y0, x0, row, 0, 0, lv, mk + 1 * 32, lim,
                     mblim, bpp);
             int uy0 = y0 >> ss_v, ux0 = x0 >> ss_h;
-            lf_cols(pu, Wuv, Huv, uy0, ux0, col, ss_h, ss_v, lv,
+            lf_cols(&cu, uy0, ux0, col, ss_h, ss_v, lv,
                     mk + (uvidx * 2 + 0) * 32, lim, mblim, bpp);
-            lf_rows(pu, Wuv, Huv, uy0, ux0, row, ss_h, ss_v, lv,
+            lf_rows(&cu, uy0, ux0, row, ss_h, ss_v, lv,
                     mk + (uvidx * 2 + 1) * 32, lim, mblim, bpp);
-            lf_cols(pv, Wuv, Huv, uy0, ux0, col, ss_h, ss_v, lv,
+            lf_cols(&cv, uy0, ux0, col, ss_h, ss_v, lv,
                     mk + (uvidx * 2 + 0) * 32, lim, mblim, bpp);
-            lf_rows(pv, Wuv, Huv, uy0, ux0, row, ss_h, ss_v, lv,
+            lf_rows(&cv, uy0, ux0, row, ss_h, ss_v, lv,
                     mk + (uvidx * 2 + 1) * 32, lim, mblim, bpp);
         }
     }
+}
+
+/* Record mode: emit the exact edge-call sequences for the TPU replay.
+ * y_rec/uv_rec: int16 [max][8] = (sb_index, py, px, dir, wd, E, I, H);
+ * 16-lane calls are split into two 8-lane records. Returns counts via
+ * out_ny/out_nuv. Coordinates are plane-local (y plane / uv plane). */
+void vp9_lpf_record(const uint8_t *lf_level, const int32_t *lf_mask,
+                    int sb_rows, int sb_cols, int ss_h, int ss_v,
+                    const int32_t *lim, const int32_t *mblim, int bpp,
+                    int16_t *y_rec, int y_max, int32_t *out_ny,
+                    int16_t *uv_rec, int uv_max, int32_t *out_nuv)
+{
+    int uvidx = (ss_h | ss_v) ? 1 : 0;
+    LfCtx cy = { 0, 0, 0, bpp, y_rec, y_max, 0, 0, 1 };
+    LfCtx cu = { 0, 0, 0, bpp, uv_rec, uv_max, 0, 0, 1 };
+    for (int sbr = 0; sbr < sb_rows; sbr++) {
+        for (int sbc = 0; sbc < sb_cols; sbc++) {
+            const uint8_t *lv = &lf_level[(sbr * sb_cols + sbc) * 64];
+            const int32_t *mk = &lf_mask[(sbr * sb_cols + sbc) * 128];
+            int row = sbr * 8, col = sbc * 8;
+            int y0 = row * 8, x0 = col * 8;
+            cy.rec_sb = cu.rec_sb = sbr * sb_cols + sbc;
+            lf_cols(&cy, y0, x0, col, 0, 0, lv, mk + 0 * 32, lim,
+                    mblim, bpp);
+            lf_rows(&cy, y0, x0, row, 0, 0, lv, mk + 1 * 32, lim,
+                    mblim, bpp);
+            int uy0 = y0 >> ss_v, ux0 = x0 >> ss_h;
+            lf_cols(&cu, uy0, ux0, col, ss_h, ss_v, lv,
+                    mk + (uvidx * 2 + 0) * 32, lim, mblim, bpp);
+            lf_rows(&cu, uy0, ux0, row, ss_h, ss_v, lv,
+                    mk + (uvidx * 2 + 1) * 32, lim, mblim, bpp);
+        }
+    }
+    *out_ny = cy.rec_n;
+    *out_nuv = cu.rec_n;
 }

@@ -4,6 +4,8 @@ import os
 # exercised without TPU hardware (the driver separately dry-runs the real
 # multi-chip path via __graft_entry__.dryrun_multichip).
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jaxcache-cpu"))
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable the TPU tunnel
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
