@@ -2,11 +2,12 @@
 
 The native pass-A side records the mask-walker's edge calls per superblock
 (native/vp9_lpf.c record mode — py, px, dir, wd, E, I, H per 8-lane call,
-in the reference's strict order). Superblocks on the same anti-diagonal
-wave are independent (SB (r,c) depends on (r-1,c) and (r,c-1) only), so
-the schedule batches substep k of every wave-w superblock into one step
-and lax.scan's over steps; the whole filter is a single device dispatch
-and frame planes never leave the device.
+in the reference's strict order). SB (r,c) depends on (r,c-1), (r-1,c)
+and (r-1,c+1) — the top-right SB's vertical-edge pass modifies this SB's
+left write margin — so superblocks on a wave of constant 2r+c are
+independent. The schedule batches substep k of every wave-w superblock
+into one step and lax.scan's over steps; the whole filter is a single
+device dispatch and frame planes never leave the device.
 
 The per-edge math is the vectorized jnp port of ops/lpf.py's
 _filter_lanes (reference: loop_filter, vp9dsp_template.c:1780-1889).
@@ -158,7 +159,7 @@ def _lf_scan(plane, steps, bpp):
 
 def pack_schedule(recs, n, sb_cols, bucket=True):
     """Group records [n, 8] (sb, py, px, dir, wd, E, I, H) into wavefront
-    steps [S, D, 7]. Superblocks on the same anti-diagonal are
+    steps [S, D, 7]. Superblocks on the same 2r+c wave are
     independent; within a superblock the order is preserved."""
     if n == 0:
         return np.zeros((0, 1, 7), np.int32)
@@ -166,7 +167,10 @@ def pack_schedule(recs, n, sb_cols, bucket=True):
     sb = r[:, 0]
     sbr = sb // sb_cols
     sbc = sb % sb_cols
-    wave = sbr + sbc
+    # dependency set of SB (r,c): (r,c-1), (r-1,c) and (r-1,c+1) — the
+    # top-right SB's vertical edges modify this SB's left write margin —
+    # so the safe wavefront is w = 2r + c (all deps in waves w-1/w-2)
+    wave = 2 * sbr + sbc
     # per-record substep index within its SB (records are emitted
     # contiguously per SB, in order)
     order = np.arange(n, dtype=np.int64)

@@ -11,8 +11,9 @@ from ffmpeg_hybrid_tpu.formats.framemd5 import (parse_framemd5,
 VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
 
 
-@pytest.mark.parametrize("name", ["intra_64", "intra_66x66", "inter_64_5f",
-                                  "inter_66x66_5f"])
+@pytest.mark.parametrize("name", ["intra_64", "intra_66x66", "intra_98x66",
+                                  "inter_64_5f", "inter_130x98_8f",
+                                  "inter_grad_8f"])
 def test_tpu_backend_conformance(name):
     ivf = os.path.join(VEC_DIR, name + ".ivf")
     if not os.path.exists(ivf):
