@@ -27,7 +27,11 @@ def decode_file_md5s(path: str, backend="golden"):
     from .ivf import read_ivf
     from .superframe import split_superframe
 
-    info, pkts = read_ivf(path)
+    if path.endswith(".webm") or path.endswith(".mkv"):
+        from .webm import read_webm
+        pkts = read_webm(path)
+    else:
+        info, pkts = read_ivf(path)
     dec = VP9Decoder(recon_backend=backend)
     out = []
     for pts, data in pkts:

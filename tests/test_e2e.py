@@ -29,6 +29,7 @@ INTRA = ["intra_64", "intra_64_noise", "intra_66x66", "intra_98x66",
 INTER = ["inter_64_5f", "inter_66x66_5f", "inter_130x98_8f",
          "inter_176x144_10f", "inter_176x144_noise", "inter_352x288_10f",
          "inter_grad_8f"]
+SPECIAL = ["show_existing", "superframe", "bench_1080p"]
 
 
 @pytest.mark.parametrize("name", INTRA)
@@ -41,6 +42,22 @@ def test_intra_conformance(name):
     for i, ((rs, rh), (gs, gh)) in enumerate(zip(ref, got)):
         assert gs == rs, f"{name} frame {i}: size {gs} != {rs}"
         assert gh == rh, f"{name} frame {i}: md5 mismatch"
+
+
+@pytest.mark.parametrize("name", SPECIAL)
+def test_special_conformance(name):
+    """show-existing-frame replay, superframes with invisible frames,
+    and the 4-tile-column 1080p stream."""
+    ensure_vectors()
+    ivf = os.path.join(VEC_DIR, name + ".ivf")
+    if not os.path.exists(ivf):
+        pytest.skip("special vectors not generated "
+                    "(tools/make_special_vectors.py)")
+    ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
+    got = decode_file_md5s(ivf)
+    assert len(got) == len(ref)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"{name} frame {i}: mismatch"
 
 
 @pytest.mark.parametrize("name", INTER)
