@@ -30,20 +30,29 @@ def adapt_probs(ctx, probs, counts, h, last_keyframe):
     Probs (forward-updated); counts: Counts; h: Header."""
     uf = 112 if (h.keyframe or h.intraonly or not last_keyframe) else 128
 
-    # coefficients
-    for i in range(4):
-        for j in range(2):
-            for k in range(2):
-                for l in range(6):
-                    for m in range(6):
-                        if l == 0 and m >= 3:
-                            break
-                        pp = ctx.coef[i, j, k, l, m]
-                        e = counts.eob[i, j, k, l, m]
-                        cc = counts.coef[i, j, k, l, m]
-                        _adapt(pp, 0, e[0], e[1], 24, uf)
-                        _adapt(pp, 1, cc[0], int(cc[1]) + int(cc[2]), 24, uf)
-                        _adapt(pp, 2, cc[1], cc[2], 24, uf)
+    # coefficients (vectorized over all [4][2][2][6][6] positions; the
+    # l==0, m>=3 dc-only positions are masked out)
+    def vadapt(p1, ct0, ct1):
+        ct0 = ct0.astype(np.int64)
+        ct1 = ct1.astype(np.int64)
+        ct = ct0 + ct1
+        ufv = (uf * np.minimum(ct, 24)) // 24
+        safe = np.maximum(ct, 1)
+        p2 = np.clip(((ct0 << 8) + (ct >> 1)) // safe, 1, 255)
+        newp = p1.astype(np.int64) + (((p2 - p1) * ufv + 128) >> 8)
+        return np.where(ct > 0, newp, p1).astype(np.uint8)
+
+    mask = np.ones((4, 2, 2, 6, 6), bool)
+    mask[:, :, :, 0, 3:] = False
+    e = counts.eob
+    cc = counts.coef
+    new0 = vadapt(ctx.coef[..., 0], e[..., 0], e[..., 1])
+    new1 = vadapt(ctx.coef[..., 1], cc[..., 0],
+                  cc[..., 1].astype(np.int64) + cc[..., 2])
+    new2 = vadapt(ctx.coef[..., 2], cc[..., 1], cc[..., 2])
+    ctx.coef[..., 0] = np.where(mask, new0, ctx.coef[..., 0])
+    ctx.coef[..., 1] = np.where(mask, new1, ctx.coef[..., 1])
+    ctx.coef[..., 2] = np.where(mask, new2, ctx.coef[..., 2])
 
     if h.keyframe or h.intraonly:
         ctx.skip[...] = probs.skip

@@ -334,16 +334,12 @@ def _intra_batch_apply(plane, residual, d, sz, bpp):
     return plane.at[rr, cc].set(out, mode="drop")
 
 
-@partial(jax.jit, static_argnames=("szs", "bpp"))
-def _intra_scan(plane, residual, xs, szs, bpp):
-    """lax.scan over wavefront levels; each step applies one batch per
-    tx size (sizes within a level are independent)."""
-    def body(pl, x):
-        for sz in szs:
-            pl = _intra_batch_apply(pl, residual, x[str(sz)], sz, bpp)
-        return pl, None
-    plane, _ = jax.lax.scan(body, plane, xs)
-    return plane
+@partial(jax.jit, static_argnames=("sz", "bpp"))
+def _intra_level_jit(plane, residual, eidx, emask, econst, modes, pys,
+                     pxs, sz, bpp):
+    d = {"eidx": eidx, "emask": emask, "econst": econst, "modes": modes,
+         "pys": pys, "pxs": pxs}
+    return _intra_batch_apply(plane, residual, d, sz, bpp)
 
 
 def _pad_to_bucket(n, base=8, mult=4):
@@ -355,39 +351,35 @@ def _pad_to_bucket(n, base=8, mult=4):
 
 
 def run_intra_plane(s, plane_dev, residual_dev, levels):
-    """Run the intra wavefront for one plane as a single scanned kernel."""
+    """Run the intra wavefront: one async dispatch per (level, size).
+    Shapes are bucketed small so the jit cache converges after a few
+    frames; dispatches chain device-side without host syncs."""
     bpp = s.header.bpp
     Hp, Wp = plane_dev.shape
-    if not levels:
-        return plane_dev
-    szs = sorted({sz for lvl in levels for sz in lvl})
-    L = _pad_to_bucket(len(levels), base=32, mult=2)
-    xs = {}
-    for sz in szs:
-        ne = it.edge_len(sz)
-        nmax = _pad_to_bucket(max(len(lvl.get(sz, [])) for lvl in levels),
-                              base=8, mult=2)
-        eidx = np.zeros((L, nmax, ne), np.int32)
-        emask = np.ones((L, nmax, ne), bool)
-        econst = np.zeros((L, nmax, ne), np.int32)
-        modes = np.zeros((L, nmax), np.int32)
-        pys = np.full((L, nmax), Hp + 64, np.int32)  # padded -> dropped
-        pxs = np.full((L, nmax), Wp + 64, np.int32)
-        for li, lvl in enumerate(levels):
-            for i, (py, px, m, ei, em, ec) in enumerate(lvl.get(sz, [])):
-                eidx[li, i] = ei
-                emask[li, i] = em
-                econst[li, i] = ec
-                modes[li, i] = m
-                pys[li, i] = py
-                pxs[li, i] = px
-        xs[str(sz)] = {"eidx": jnp.asarray(eidx),
-                       "emask": jnp.asarray(emask),
-                       "econst": jnp.asarray(econst),
-                       "modes": jnp.asarray(modes),
-                       "pys": jnp.asarray(pys),
-                       "pxs": jnp.asarray(pxs)}
-    return _intra_scan(plane_dev, residual_dev, xs, tuple(szs), bpp)
+    for lvl in levels:
+        for sz, entries in lvl.items():
+            n = len(entries)
+            nb = _pad_to_bucket(n, base=8, mult=2)
+            ne = it.edge_len(sz)
+            eidx = np.zeros((nb, ne), np.int32)
+            emask = np.ones((nb, ne), bool)
+            econst = np.zeros((nb, ne), np.int32)
+            modes = np.zeros(nb, np.int32)
+            pys = np.full(nb, Hp + 64, np.int32)  # padded -> dropped
+            pxs = np.full(nb, Wp + 64, np.int32)
+            for i, (py, px, m, ei, em, ec) in enumerate(entries):
+                eidx[i] = ei
+                emask[i] = em
+                econst[i] = ec
+                modes[i] = m
+                pys[i] = py
+                pxs[i] = px
+            plane_dev = _intra_level_jit(
+                plane_dev, residual_dev, jnp.asarray(eidx),
+                jnp.asarray(emask), jnp.asarray(econst),
+                jnp.asarray(modes), jnp.asarray(pys), jnp.asarray(pxs),
+                sz, bpp)
+    return plane_dev
 
 
 # ---------------------------------------------------------------------------

@@ -306,8 +306,16 @@ def decode_tiles_native(s, data: bytes) -> bool:
     if rc != 0:
         raise ValueError(f"native pass A failed: {rc}")
 
-    # rebuild the block list for the recon backends
+    # rebuild the block list for the recon backends; with threaded tile
+    # columns the per-tile runs are concatenated, so restore decode order
+    # (sb-row major, then tile) with a stable sort
     from .codecs.vp9.blockdec import Block
+    if h.tile_cols > 1 and ctx.n_blocks:
+        view = blocks[:ctx.n_blocks]
+        keys = (view[:, 0].astype(np.int64) // 8) * (1 << 16) \
+            + view[:, 2].astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        blocks[:ctx.n_blocks] = view[order]
     blks = []
     for i in range(ctx.n_blocks):
         r = blocks[i]

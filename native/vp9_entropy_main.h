@@ -332,27 +332,112 @@ static void reset_left(Td *td)
     memset(td->l_segpred, 0, 8);
 }
 
-/* entry point: decode all tiles. Returns 0 or negative error. */
-int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
+/* ------------------------------------------------------------------ */
+/* tile decode: single-threaded path + pthread-per-tile-column path     */
+
+#include <pthread.h>
+
+#define N_COUNT_FIELDS 24
+static const int count_sizes[N_COUNT_FIELDS] = {
+    40, 100, 12, 28, 8, 10, 20, 10, 8, 6, 4, 6, 4, 64,
+    3456, 2304, 4, 22, 4, 40, 16, 8, 4, 4
+};
+
+static uint32_t **ctx_count_ptrs(Ctx *s, uint32_t **out)
 {
-    static Td td_s;  /* large; avoid stack */
-    Td *td = &td_s;
+    uint32_t **p = out;
+    *p++ = s->c_ymode; *p++ = s->c_uvmode; *p++ = s->c_filter;
+    *p++ = s->c_mvmode; *p++ = s->c_intra; *p++ = s->c_comp;
+    *p++ = s->c_single_ref; *p++ = s->c_comp_ref; *p++ = s->c_tx32;
+    *p++ = s->c_tx16; *p++ = s->c_tx8; *p++ = s->c_skip;
+    *p++ = s->c_mv_joint; *p++ = s->c_partition; *p++ = s->c_coef;
+    *p++ = s->c_eob; *p++ = s->c_mv_sign; *p++ = s->c_mv_classes;
+    *p++ = s->c_mv_class0; *p++ = s->c_mv_bits; *p++ = s->c_mv_c0fp;
+    *p++ = s->c_mv_fp; *p++ = s->c_mv_c0hp; *p++ = s->c_mv_hp;
+    return out;
+}
+
+static void ctx_set_counts(Ctx *s, uint32_t *blob)
+{
+    uint32_t *p = blob;
+    uint32_t **fields[N_COUNT_FIELDS] = {
+        &s->c_ymode, &s->c_uvmode, &s->c_filter, &s->c_mvmode,
+        &s->c_intra, &s->c_comp, &s->c_single_ref, &s->c_comp_ref,
+        &s->c_tx32, &s->c_tx16, &s->c_tx8, &s->c_skip, &s->c_mv_joint,
+        &s->c_partition, &s->c_coef, &s->c_eob, &s->c_mv_sign,
+        &s->c_mv_classes, &s->c_mv_class0, &s->c_mv_bits, &s->c_mv_c0fp,
+        &s->c_mv_fp, &s->c_mv_c0hp, &s->c_mv_hp
+    };
+    for (int i = 0; i < N_COUNT_FIELDS; i++) {
+        *fields[i] = p;
+        p += count_sizes[i];
+    }
+}
+
+#define COUNTS_TOTAL 6182
+
+typedef struct {
+    Ctx ctx;           /* per-thread copy with private counts/blocks */
+    Td td;
+    const uint8_t *tile_data[64];
+    int tile_size[64]; /* per tile row for this column */
+    int tile_col;
+    uint32_t counts[COUNTS_TOTAL];
+    int error;
+} TileJob;
+
+static void decode_one_tile_col(TileJob *j)
+{
+    Ctx *s = &j->ctx;
+    Td *td = &j->td;
     memset(td, 0, sizeof(*td));
     td->s = s;
-    s->n_blocks = 0;
-    s->error = 0;
-
-    BoolDec coders[64];
-    int pos = 0;
-
+    j->error = 0;
     for (int tile_row = 0; tile_row < s->tile_rows; tile_row++) {
         int row_start = ((tile_row * s->sb_rows) >> s->log2_tile_rows) * 8;
         int row_end = (((tile_row + 1) * s->sb_rows) >> s->log2_tile_rows)
                       * 8;
-        for (int tile_col = 0; tile_col < s->tile_cols; tile_col++) {
+        BoolDec bd;
+        bd_init(&bd, j->tile_data[tile_row], j->tile_size[tile_row]);
+        if (bd_bit(&bd)) { j->error = -1; return; }
+        int col_start =
+            ((j->tile_col * s->sb_cols) >> s->log2_tile_cols) * 8;
+        int col_end =
+            (((j->tile_col + 1) * s->sb_cols) >> s->log2_tile_cols) * 8;
+        for (int row = row_start; row < row_end; row += 8) {
+            td->tile_col_start = col_start;
+            reset_left(td);
+            td->c = &bd;
+            for (int col = col_start; col < col_end; col += 8) {
+                if (bd_is_end(&bd)) { j->error = -2; return; }
+                decode_sb(td, row, col, 0);
+            }
+        }
+    }
+}
+
+static void *tile_thread(void *arg)
+{
+    decode_one_tile_col((TileJob *)arg);
+    return 0;
+}
+
+/* entry point: decode all tiles (threads one pthread per tile column
+ * when tile_cols > 1, mirroring the reference's slice threading,
+ * vp9.c:1441-1552). Returns 0 or negative error. */
+int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
+{
+    s->n_blocks = 0;
+    s->error = 0;
+
+    /* locate each tile's data */
+    const uint8_t *tdata[64][64];
+    int tsize[64][64];
+    int pos = 0;
+    for (int tr = 0; tr < s->tile_rows; tr++) {
+        for (int tc = 0; tc < s->tile_cols; tc++) {
             int tsz;
-            if (tile_col == s->tile_cols - 1 &&
-                tile_row == s->tile_rows - 1) {
+            if (tc == s->tile_cols - 1 && tr == s->tile_rows - 1) {
                 tsz = size - pos;
             } else {
                 if (pos + 4 > size) return -1;
@@ -361,26 +446,84 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
                 pos += 4;
             }
             if (tsz < 0 || tsz > size - pos) return -1;
-            bd_init(&coders[tile_col], data + pos, tsz);
-            if (bd_bit(&coders[tile_col])) return -1;
+            tdata[tr][tc] = data + pos;
+            tsize[tr][tc] = tsz;
             pos += tsz;
         }
-        for (int row = row_start; row < row_end; row += 8) {
-            for (int tile_col = 0; tile_col < s->tile_cols; tile_col++) {
-                int col_start =
-                    ((tile_col * s->sb_cols) >> s->log2_tile_cols) * 8;
-                int col_end =
-                    (((tile_col + 1) * s->sb_cols) >> s->log2_tile_cols)
-                    * 8;
-                td->tile_col_start = col_start;
+    }
+
+    if (s->tile_cols == 1) {
+        static Td td_s;
+        Td *td = &td_s;
+        memset(td, 0, sizeof(*td));
+        td->s = s;
+        for (int tr = 0; tr < s->tile_rows; tr++) {
+            int row_start = ((tr * s->sb_rows) >> s->log2_tile_rows) * 8;
+            int row_end = (((tr + 1) * s->sb_rows) >> s->log2_tile_rows)
+                          * 8;
+            BoolDec bd;
+            bd_init(&bd, tdata[tr][0], tsize[tr][0]);
+            if (bd_bit(&bd)) return -1;
+            for (int row = row_start; row < row_end; row += 8) {
+                td->tile_col_start = 0;
                 reset_left(td);
-                td->c = &coders[tile_col];
-                for (int col = col_start; col < col_end; col += 8) {
-                    if (bd_is_end(td->c)) return -2;
+                td->c = &bd;
+                for (int col = 0; col < s->sb_cols * 8; col += 8) {
+                    if (col >= s->cols) break;
+                    if (bd_is_end(&bd)) return -2;
                     decode_sb(td, row, col, 0);
                 }
             }
         }
+        return 0;
     }
-    return 0;
+
+    /* threaded tile columns: outputs are column-disjoint; counts and
+     * block records are thread-private and merged afterwards */
+    int ntc = s->tile_cols;
+    TileJob *jobs = calloc(ntc, sizeof(TileJob));
+    pthread_t th[64];
+    int blocks_per = s->max_blocks / ntc;
+    for (int tc = 0; tc < ntc; tc++) {
+        TileJob *j = &jobs[tc];
+        j->ctx = *s;
+        j->tile_col = tc;
+        ctx_set_counts(&j->ctx, j->counts);
+        memset(j->counts, 0, sizeof(j->counts));
+        j->ctx.blocks_out = s->blocks_out + (size_t)tc * blocks_per * 36;
+        j->ctx.max_blocks = blocks_per;
+        j->ctx.n_blocks = 0;
+        for (int tr = 0; tr < s->tile_rows; tr++) {
+            j->tile_data[tr] = tdata[tr][tc];
+            j->tile_size[tr] = tsize[tr][tc];
+        }
+        pthread_create(&th[tc], 0, tile_thread, j);
+    }
+    int err = 0;
+    uint32_t *main_counts[N_COUNT_FIELDS];
+    ctx_count_ptrs(s, main_counts);
+    int total_blocks = 0;
+    for (int tc = 0; tc < ntc; tc++) {
+        pthread_join(th[tc], 0);
+        if (jobs[tc].error) err = jobs[tc].error;
+        uint32_t *p = jobs[tc].counts;
+        for (int f = 0; f < N_COUNT_FIELDS; f++) {
+            for (int k = 0; k < count_sizes[f]; k++)
+                main_counts[f][k] += p[k];
+            p += count_sizes[f];
+        }
+        total_blocks += jobs[tc].ctx.n_blocks;
+    }
+    /* compact the per-tile block regions into one contiguous run
+     * (order restored host-side by a stable sort on (sb_row, tile)) */
+    int w = jobs[0].ctx.n_blocks;
+    for (int tc = 1; tc < ntc; tc++) {
+        memmove(s->blocks_out + (size_t)w * 36,
+                s->blocks_out + (size_t)tc * blocks_per * 36,
+                (size_t)jobs[tc].ctx.n_blocks * 36 * sizeof(int16_t));
+        w += jobs[tc].ctx.n_blocks;
+    }
+    s->n_blocks = total_blocks;
+    free(jobs);
+    return err;
 }
