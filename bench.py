@@ -66,7 +66,7 @@ def main():
             if f.dev is not None:
                 jax.block_until_ready(f.dev[0])
             timed_frames += 1
-        if i == 2:  # restart after pipeline warm-up
+        if i == 7:  # restart after pipeline warm-up
             t_start = time.time()
             timed_frames = 0
         if time.time() - t_start > budget_s:
