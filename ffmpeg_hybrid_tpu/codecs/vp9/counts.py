@@ -35,6 +35,3 @@ class Counts:
         """Merge another tile's counts (reference: vp9.c:1816-1819)."""
         for k, v in self.__dict__.items():
             v += other.__dict__[k]
-
-    def clear_modes_keep_coef(self):
-        pass

@@ -16,7 +16,6 @@ import numpy as np
 
 from . import tables as T
 from .blockdec import TileDecoder, Block
-from .counts import Counts
 from .header import (Header, parse_uncompressed_header,
                      parse_compressed_header)
 from .probs import Probs
@@ -84,10 +83,7 @@ class VP9Decoder:
 
     def __init__(self, recon_backend="golden", use_native=None):
         if use_native is None:
-            try:
-                from ...passa_native import available
-            except ImportError:
-                from ..passa_native import available  # pragma: no cover
+            from ...passa_native import available
             use_native = available()
         self.use_native = use_native
         self.header: Header | None = None
