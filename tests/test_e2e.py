@@ -30,6 +30,9 @@ INTER = ["inter_64_5f", "inter_66x66_5f", "inter_130x98_8f",
          "inter_176x144_10f", "inter_176x144_noise", "inter_352x288_10f",
          "inter_grad_8f"]
 SPECIAL = ["show_existing", "superframe", "bench_1080p"]
+MINI = ["mini_gray_64", "mini_gray_130x70", "mini_gray10_128x72",
+        "mini_gray12_64", "mini_lossless_64", "mini_lossless_130x70",
+        "mini_lossless10_96x64", "mini_lossless12_64"]
 
 
 @pytest.mark.parametrize("name", INTRA)
@@ -53,6 +56,21 @@ def test_special_conformance(name):
     if not os.path.exists(ivf):
         pytest.skip("special vectors not generated "
                     "(tools/make_special_vectors.py)")
+    ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
+    got = decode_file_md5s(ivf)
+    assert len(got) == len(ref)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"{name} frame {i}: mismatch"
+
+
+@pytest.mark.parametrize("name", MINI)
+def test_mini_encoder_conformance(name):
+    """Streams from the in-repo mini encoder: profile 2 (10/12-bit),
+    lossless WHT coefficients, odd sizes with edge-implied partitions."""
+    ensure_vectors()
+    ivf = os.path.join(VEC_DIR, name + ".ivf")
+    if not os.path.exists(ivf):
+        pytest.skip("mini vectors not generated (tools/mini_encoder.py)")
     ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
     got = decode_file_md5s(ivf)
     assert len(got) == len(ref)

@@ -1,0 +1,565 @@
+#!/usr/bin/env python3
+"""Minimal conformant VP9 encoder for conformance vectors that no local
+encoder can produce (profile 2 high bit depth, lossless, intra-only).
+
+Produces keyframes with all-skip DC-predicted superblocks (optionally
+with coefficients in later revisions). The bool encoder is the exact
+inverse of the spec decoder (big-integer low/range formulation, so no
+carry propagation); validated by decoding with the oracle.
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from ffmpeg_hybrid_tpu.codecs.vp9 import tables as T
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        b = 0
+        for i, bit in enumerate(self.bits):
+            b = (b << 1) | bit
+            if i % 8 == 7:
+                out.append(b)
+                b = 0
+        rem = len(self.bits) % 8
+        if rem:
+            out.append(b << (8 - rem))
+        return bytes(out)
+
+
+class BoolEncoder:
+    """Inverse of the spec bool decoder: the decoder reads an 8-bit
+    window then appends one bit per renormalization; so the codeword is
+    `low` over (8 + renorms) bits."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.nbits = 8
+
+    def put(self, bit, prob):
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            self.low <<= 1
+            self.nbits += 1
+
+    def put_literal(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1, 128)
+
+    def put_tree(self, tree, probs, value):
+        """Encode `value` along the token tree (leaves are -value)."""
+        # find path by walking from root
+        path = []
+
+        def walk(i, acc):
+            for b in (0, 1):
+                nxt = int(tree[i][b])
+                if nxt <= 0:
+                    if -nxt == value:
+                        path.extend(acc + [(i, b)])
+                        return True
+                else:
+                    if walk(nxt, acc + [(i, b)]):
+                        return True
+            return False
+
+        assert walk(0, []), f"value {value} not in tree"
+        for node, bit in path:
+            self.put(bit, int(probs[node]))
+
+    def bytes(self):
+        n_bytes = (self.nbits + 7) // 8
+        pad = n_bytes * 8 - self.nbits
+        return (self.low << pad).to_bytes(n_bytes, "big")
+
+
+def _inv_wht1d(o):
+    """Exact inverse of the decoder's iwht lifting (per last-axis row)."""
+    o0, o1, o2, o3 = o[..., 0], o[..., 1], o[..., 2], o[..., 3]
+    t0 = o0 + o1
+    t3 = o3 - o2
+    t4 = (t0 - t3) >> 1
+    i1 = t4 - o1
+    i2 = t4 - o2
+    i0 = t0 - i2
+    i3 = t3 + i1
+    return np.stack([i0, i2, i3, i1], axis=-1)
+
+
+def fwht_tokens(res):
+    """Forward WHT: residual [4,4] -> bitstream tokens [4,4] such that
+    dequant (x4) + the decoder's iwht reproduces `res` exactly."""
+    res = res.astype(np.int64)
+    tmp = _inv_wht1d(res.swapaxes(-1, -2)).swapaxes(-1, -2)
+    return _inv_wht1d(tmp).swapaxes(-1, -2)
+
+
+CAT6_PROBS_8 = [254, 254, 254, 252, 249, 243, 230, 196, 177, 153, 140,
+                133, 130, 129]
+
+
+def _finish(hdr, chdr, tile):
+    """A trailing byte matching the superframe marker pattern (110xxxxx)
+    would make parsers read a bogus superframe index; defuse with a pad
+    byte (ignored by the bool decoder)."""
+    pkt = hdr + chdr + tile
+    if (pkt[-1] & 0xE0) == 0xC0:
+        pkt += b"\x00"
+    return pkt
+
+
+class CoeffEncoder:
+    """Mirror of the decoder's coefficient loop (blockdec.py
+    decode_coeffs_block) for TX_4X4 tokens."""
+
+    BAND_COUNTS = [1, 2, 3, 4, 3, 3, 0, 0]
+
+    def __init__(self, t, bpp):
+        self.t = t
+        self.bpp = bpp
+
+    def encode_block(self, vals, probs11, nnz, scan, nb):
+        """vals: int [4][4] raster tokens. Returns eob."""
+        t = self.t
+        flat = vals.reshape(-1)
+        nzpos = [i for i in range(16) if flat[scan[i]]]
+        eob = (nzpos[-1] + 1) if nzpos else 0
+        cache = np.zeros(16, np.int64)
+        band = 0
+        band_left = self.BAND_COUNTS[0]
+        tp = probs11[0][nnz]
+        i = 0
+        while i < eob:
+            t.put(1, int(tp[0]))  # more coefficients
+            while flat[scan[i]] == 0:
+                t.put(0, int(tp[1]))
+                band_left -= 1
+                if not band_left:
+                    band += 1
+                    band_left = self.BAND_COUNTS[band]
+                cache[scan[i]] = 0
+                nnz = (1 + cache[nb[i][0]] + cache[nb[i][1]]) >> 1
+                tp = probs11[min(band, 5)][nnz]
+                i += 1
+            rc = int(scan[i])
+            v = int(flat[rc])
+            val = abs(v)
+            t.put(1, int(tp[1]))  # nonzero
+            if val == 1:
+                t.put(0, int(tp[2]))
+                cache[rc] = 1
+            else:
+                t.put(1, int(tp[2]))
+                if val <= 4:
+                    t.put(0, int(tp[3]))
+                    if val == 2:
+                        t.put(0, int(tp[4]))
+                        cache[rc] = 2
+                    else:
+                        t.put(1, int(tp[4]))
+                        t.put(val - 3, int(tp[5]))
+                        cache[rc] = 3
+                elif val <= 10:
+                    t.put(1, int(tp[3]))
+                    t.put(0, int(tp[6]))
+                    cache[rc] = 4
+                    if val <= 6:
+                        t.put(0, int(tp[7]))
+                        t.put(val - 5, 159)
+                    else:
+                        t.put(1, int(tp[7]))
+                        t.put((val - 7) >> 1, 165)
+                        t.put((val - 7) & 1, 145)
+                else:
+                    t.put(1, int(tp[3]))
+                    t.put(1, int(tp[6]))
+                    cache[rc] = 5
+                    if val <= 34:
+                        t.put(0, int(tp[8]))
+                        if val <= 18:
+                            t.put(0, int(tp[9]))
+                            d = val - 11
+                            t.put((d >> 2) & 1, 173)
+                            t.put((d >> 1) & 1, 148)
+                            t.put(d & 1, 140)
+                        else:
+                            t.put(1, int(tp[9]))
+                            d = val - 19
+                            t.put((d >> 3) & 1, 176)
+                            t.put((d >> 2) & 1, 155)
+                            t.put((d >> 1) & 1, 140)
+                            t.put(d & 1, 135)
+                    elif val <= 66:
+                        t.put(1, int(tp[8]))
+                        t.put(0, int(tp[10]))
+                        d = val - 35
+                        for bitpos, pr in zip(range(4, -1, -1),
+                                              (180, 157, 141, 134, 130)):
+                            t.put((d >> bitpos) & 1, pr)
+                    else:
+                        t.put(1, int(tp[8]))
+                        t.put(1, int(tp[10]))
+                        d = val - 67
+                        probs = list(CAT6_PROBS_8)
+                        if self.bpp == 10:
+                            probs = [255, 255] + probs
+                        elif self.bpp == 12:
+                            probs = [255, 255, 255, 255] + probs
+                        nb_bits = len(probs)
+                        for k in range(nb_bits):
+                            t.put((d >> (nb_bits - 1 - k)) & 1, probs[k])
+            band_left -= 1
+            if not band_left:
+                band += 1
+                band_left = self.BAND_COUNTS[band]
+            t.put(1 if v < 0 else 0, 128)  # sign
+            i += 1
+            if i >= 16:
+                break
+            nnz = (1 + cache[nb[i - 1][0]] + cache[nb[i - 1][1]]) >> 1
+            tp = probs11[min(band, 5)][nnz]
+        if eob < 16:
+            t.put(0, int(tp[0]))  # end of block
+        return eob
+
+
+def _header_bits(w, h, bpp):
+    """Uncompressed keyframe header bits up to (excl.) the compressed
+    header size field. Lossless, no segmentation, single tile."""
+    profile = 0 if bpp == 8 else 2
+    gb = BitWriter()
+    gb.put(0b10, 2)                # frame marker
+    gb.put(profile & 1, 1)         # profile low bit
+    gb.put((profile >> 1) & 1, 1)  # profile high bit
+    gb.put(0, 1)                   # show_existing_frame
+    gb.put(0, 1)                   # frame type: keyframe
+    gb.put(1, 1)                   # show_frame
+    gb.put(0, 1)                   # error_resilient
+    gb.put(0x498342, 24)           # sync code
+    # colorspace details
+    if profile >= 2:
+        gb.put(0 if bpp == 10 else 1, 1)  # ten/twelve bit
+    gb.put(0, 3)                   # colorspace: unspecified
+    gb.put(0, 1)                   # color range
+    # profile 0/2: 4:2:0 implied, no subsampling bits
+    gb.put(w - 1, 16)
+    gb.put(h - 1, 16)
+    gb.put(0, 1)                   # no display size
+    gb.put(0, 1)                   # refresh_frame_context
+    gb.put(0, 1)                   # frame_parallel_decoding_mode
+    gb.put(0, 2)                   # frame_context_idx
+    # loop filter
+    gb.put(0, 6)                   # level
+    gb.put(0, 3)                   # sharpness
+    gb.put(0, 1)                   # lf delta enabled
+    # quant: lossless
+    gb.put(0, 8)                   # yac_qi
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)                   # segmentation disabled
+    # tiling
+    sb_cols = (w + 63) >> 6
+    min_log2 = 0
+    while sb_cols > (64 << min_log2):
+        min_log2 += 1
+    mx = 0
+    while (sb_cols >> mx) >= 4:
+        mx += 1
+    mx = max(0, mx - 1)
+    # choose min tile cols: emit a 0 "no more" bit per optional increment
+    log2cols = min_log2
+    while mx > log2cols:
+        gb.put(0, 1)
+        break  # first 0 stops the loop
+    if mx <= min_log2:
+        pass  # no bits read
+    gb.put(0, 1)                   # log2_tile_rows: decode012 -> 0
+    return gb
+
+
+def encode_keyframe_gray(w, h, bpp=8):
+    """All-skip DC-predicted lossless keyframe (uniform mid-gray)."""
+    gb = _header_bits(w, h, bpp)
+
+    # compressed header
+    c = BoolEncoder()
+    c.put(0, 128)                  # marker bit
+    # lossless -> no txfm mode; coef update flag for i=0 only
+    c.put(0, 128)
+    # skip prob updates: 3 gate bits at prob 252
+    for _ in range(3):
+        c.put(0, 252)
+    chdr = c.bytes()
+
+    gb.put(len(chdr), 16)
+    hdr = gb.bytes()
+
+    # tile data: single tile, mirroring decode_sb's partition walk with
+    # the largest block at each level (NONE / edge-implied H, V, SPLIT)
+    t = BoolEncoder()
+    t.put(0, 128)                  # marker bit
+    sb_cols = (w + 63) >> 6
+    sb_rows = (h + 63) >> 6
+    cols = (w + 7) >> 3
+    rows = (h + 7) >> 3
+    kf_part = T.DEFAULT_KF_PARTITION_PROBS
+    ptree = T.PARTITION_TREE
+    imtree = T.INTRAMODE_TREE
+    DC = 2
+    LEFT_CTX = [0x0, 0x8, 0x0, 0x8, 0xC, 0x8, 0xC, 0xE, 0xC, 0xE]
+    ABOVE_CTX = [0x0, 0x0, 0x8, 0x8, 0x8, 0xC, 0xC, 0xC, 0xE, 0xE]
+    BWH = T.BWH_TAB[1]
+
+    above_part = np.zeros(sb_cols * 8, np.uint8)
+    above_skip = np.zeros(sb_cols * 8, np.uint8)
+    left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8)}
+
+    def encode_block(r, c, bl, bp):
+        bs = bl * 3 + bp
+        row7 = r & 7
+        sctx = int(left["skip"][row7]) + int(above_skip[c])
+        t.put(1, int(T.PROBS_SKIP[sctx]))          # skip = 1
+        t.put_tree(imtree, T.DEFAULT_KF_YMODE_PROBS[DC][DC], DC)
+        t.put_tree(imtree, T.DEFAULT_KF_UVMODE_PROBS[DC], DC)
+        nw = int(BWH[bs][0])
+        nh = int(BWH[bs][1])
+        above_skip[c:c + nw] = 1
+        above_part[c:c + nw] = ABOVE_CTX[bs]
+        left["skip"][row7:row7 + nh] = 1
+        left["part"][row7:row7 + nh] = LEFT_CTX[bs]
+
+    def encode_sb(r, c, bl):
+        ctx = ((int(above_part[c]) >> (3 - bl)) & 1) | \
+              (((int(left["part"][r & 7]) >> (3 - bl)) & 1) << 1)
+        p = kf_part[bl][ctx]
+        hbs = 4 >> bl
+        if bl == 3:
+            t.put_tree(ptree, p, 0)                # NONE
+            encode_block(r, c, bl, 0)
+        elif c + hbs < cols:
+            if r + hbs < rows:
+                t.put_tree(ptree, p, 0)            # NONE
+                encode_block(r, c, bl, 0)
+            else:
+                t.put(0, int(p[1]))                # PARTITION_H (implied)
+                encode_block(r, c, bl, 1)
+        elif r + hbs < rows:
+            t.put(0, int(p[2]))                    # PARTITION_V (implied)
+            encode_block(r, c, bl, 2)
+        else:
+            encode_sb(r, c, bl + 1)                # implicit split
+
+    for r in range(0, sb_rows * 8, 8):
+        left["part"][:] = 0
+        left["skip"][:] = 0
+        for ccol in range(0, sb_cols * 8, 8):
+            encode_sb(r, ccol, 0)
+    return _finish(hdr, chdr, t.bytes())
+
+
+def encode_keyframe_lossless(y, u, v, bpp=8):
+    """Lossless keyframe with real content: DC-predicted 4x4 blocks with
+    WHT-coded residuals (profile 0 at 8-bit, profile 2 at 10/12-bit).
+    y/u/v: int arrays (u, v at 4:2:0)."""
+    from ffmpeg_hybrid_tpu.codecs.vp9.golden import MODE_CONV, _build_edges
+    from ffmpeg_hybrid_tpu.ops.intra import intra_pred
+    from ffmpeg_hybrid_tpu.codecs.vp9.probs import coef_full
+
+    h, w = y.shape
+    sb_cols = (w + 63) >> 6
+    sb_rows = (h + 63) >> 6
+    cols = (w + 7) >> 3
+    rows = (h + 7) >> 3
+
+    # padded target planes (= the lossless reconstruction)
+    def pad(p, H, W):
+        out = np.zeros((H, W), np.int64)
+        out[:p.shape[0], :p.shape[1]] = p
+        out[:p.shape[0], p.shape[1]:] = p[:, -1:]
+        out[p.shape[0]:, :] = out[p.shape[0] - 1:p.shape[0], :]
+        return out
+
+    H64, W64 = sb_rows * 64, sb_cols * 64
+    py_ = pad(np.asarray(y, np.int64), H64, W64)
+    pu_ = pad(np.asarray(u, np.int64), H64 >> 1, W64 >> 1)
+    pv_ = pad(np.asarray(v, np.int64), H64 >> 1, W64 >> 1)
+
+    gbs = _header_bits(w, h, bpp)
+    c = BoolEncoder()
+    c.put(0, 128)
+    c.put(0, 128)
+    for _ in range(3):
+        c.put(0, 252)
+    chdr = c.bytes()
+    gbs.put(len(chdr), 16)
+    hdr = gbs.bytes()
+
+    t = BoolEncoder()
+    t.put(0, 128)
+    kf_part = T.DEFAULT_KF_PARTITION_PROBS
+    ptree = T.PARTITION_TREE
+    imtree = T.INTRAMODE_TREE
+    DC = 2
+    LEFT_CTX = [0x0]
+    ABOVE_CTX = [0x0]
+    coef11 = coef_full(T.DEFAULT_COEF_PROBS)
+    scan = T.SCANS[4][0]
+    nbs = T.SCANS_NB[4][0]
+    ce = CoeffEncoder(t, bpp)
+
+    above_part = np.zeros(sb_cols * 8, np.uint8)
+    above_skip = np.zeros(sb_cols * 8, np.uint8)
+    a_ynnz = np.zeros(sb_cols * 16, np.uint8)
+    a_uvnnz = np.zeros((2, sb_cols * 16), np.uint8)
+    left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8),
+            "ynnz": np.zeros(16, np.uint8),
+            "uvnnz": np.zeros((2, 16), np.uint8)}
+
+    def enc_plane_coeffs(plane, probs11, row, col, ss, a_n, l_n, pl_w4,
+                         tcs):
+        end_x = min(2 * (cols - col), 16) >> ss
+        end_y = min(2 * (rows - row), 16) >> ss
+        w4full = 16 >> ss
+        a0 = col << (1 - ss)
+        l0 = (row & 7) << (1 - ss)
+        for yy in range(0, end_y):
+            for xx in range(0, end_x):
+                ppy = ((row * 8) >> ss) + yy * 4
+                ppx = ((col * 8) >> ss) + xx * 4
+                have_top = row > 0 or yy > 0
+                have_left = col > tcs or xx > 0
+                have_right = xx < w4full - 1
+                n_have_top = (((cols - col) << (0 if ss else 1)) - xx) * 4
+                n_have_left = (((rows - row) << (0 if ss else 1)) - yy) * 4
+                m = MODE_CONV[DC][1 if have_left else 0][
+                    1 if have_top else 0]
+                l_e, a_e = _build_edges(plane, ppy, ppx, 4, 0, m,
+                                        have_top, have_left, have_right,
+                                        n_have_top, n_have_left, bpp)
+                pred = intra_pred(m, 4, l_e, a_e, bpp)
+                res = plane[ppy:ppy + 4, ppx:ppx + 4] - pred
+                toks = fwht_tokens(res)
+                nnz = int(a_n[a0 + xx]) + int(l_n[l0 + yy])
+                eob = ce.encode_block(toks, probs11, nnz, scan, nbs)
+                a_n[a0 + xx] = l_n[l0 + yy] = 1 if eob else 0
+
+    def encode_block(r, ccol, bl, bp):
+        row7 = r & 7
+        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+        t.put(0, int(T.PROBS_SKIP[sctx]))          # skip = 0
+        t.put_tree(imtree, T.DEFAULT_KF_YMODE_PROBS[DC][DC], DC)
+        t.put_tree(imtree, T.DEFAULT_KF_UVMODE_PROBS[DC], DC)
+        # coefficients: Y then U, V (intra: coef11[tx][plane][0])
+        enc_plane_coeffs(py_, coef11[0][0][0], r, ccol, 0, a_ynnz,
+                         left["ynnz"], 16, 0)
+        enc_plane_coeffs(pu_, coef11[0][1][0], r, ccol, 1, a_uvnnz[0],
+                         left["uvnnz"][0], 8, 0)
+        enc_plane_coeffs(pv_, coef11[0][1][0], r, ccol, 1, a_uvnnz[1],
+                         left["uvnnz"][1], 8, 0)
+        bs = bl * 3 + bp
+        nw = int(T.BWH_TAB[1][bs][0])
+        nh = int(T.BWH_TAB[1][bs][1])
+        above_skip[ccol:ccol + nw] = 0
+        above_part[ccol:ccol + nw] = \
+            [0x0, 0x0, 0x8, 0x8][bs] if bs < 4 else 0
+        left["skip"][row7:row7 + nh] = 0
+        left["part"][row7:row7 + nh] = \
+            [0x0, 0x8, 0x0, 0x8][bs] if bs < 4 else 0
+
+    def encode_sb(r, ccol, bl):
+        ctx = ((int(above_part[ccol]) >> (3 - bl)) & 1) | \
+              (((int(left["part"][r & 7]) >> (3 - bl)) & 1) << 1)
+        p = kf_part[bl][ctx]
+        hbs = 4 >> bl
+        if bl == 3:
+            t.put_tree(ptree, p, 0)
+            encode_block(r, ccol, bl, 0)
+        elif ccol + hbs < cols:
+            if r + hbs < rows:
+                t.put_tree(ptree, p, 0)
+                encode_block(r, ccol, bl, 0)
+            else:
+                t.put(0, int(p[1]))
+                encode_block(r, ccol, bl, 1)
+        elif r + hbs < rows:
+            t.put(0, int(p[2]))
+            encode_block(r, ccol, bl, 2)
+        else:
+            encode_sb(r, ccol, bl + 1)
+
+    for r in range(0, sb_rows * 8, 8):
+        left["part"][:] = 0
+        left["skip"][:] = 0
+        left["ynnz"][:] = 0
+        left["uvnnz"][:] = 0
+        for ccol in range(0, sb_cols * 8, 8):
+            encode_sb(r, ccol, 0)
+    return _finish(hdr, chdr, t.bytes())
+
+
+def main():
+    import subprocess
+    from ffmpeg_hybrid_tpu.formats.ivf import write_ivf
+    vec = os.path.join(os.path.dirname(__file__), "..", "vectors")
+    oracle = os.path.join(os.path.dirname(__file__), "..", ".oracle",
+                          "build", "ffmpeg")
+    specs = [("mini_gray_64", 64, 64, 8, False),
+             ("mini_gray_130x70", 130, 70, 8, False),
+             ("mini_gray10_128x72", 128, 72, 10, False),
+             ("mini_gray12_64", 64, 64, 12, False),
+             ("mini_lossless_64", 64, 64, 8, True),
+             ("mini_lossless_130x70", 130, 70, 8, True),
+             ("mini_lossless10_96x64", 96, 64, 10, True),
+             ("mini_lossless12_64", 64, 64, 12, True)]
+    rng = np.random.RandomState(11)
+    for name, w, h, bpp, content in specs:
+        if content:
+            mx = (1 << bpp) - 1
+            yp = rng.randint(0, mx + 1, (h, w))
+            # smooth + noise mix so multiple token categories appear
+            ramp = (np.add.outer(np.arange(h), np.arange(w)) * mx
+                    // (h + w))
+            yp = (yp // 4 + ramp * 3 // 4)
+            up = rng.randint(0, mx + 1, ((h + 1) // 2, (w + 1) // 2))
+            vp = ramp[::2, ::2] % (mx + 1)
+            pkt = encode_keyframe_lossless(yp, up, vp, bpp)
+        else:
+            pkt = encode_keyframe_gray(w, h, bpp)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1, [(0, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode != 0:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+            continue
+        with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+            fh.write(out.stdout)
+        lines = [l for l in out.stdout.decode().splitlines()
+                 if l and not l.startswith("#")]
+        print(name, f"{w}x{h}@{bpp}bit:", len(lines), "frame(s)")
+
+
+if __name__ == "__main__":
+    main()
