@@ -389,8 +389,11 @@ def run_intra_plane(s, plane_dev, residual_dev, levels):
 def recon_frame(s):
     h = s.header
     bpp = h.bpp
-    if any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3)):
-        # scaled-reference frames fall back to the golden path this round
+    if (any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
+            or bpp > 8):
+        # scaled-reference and high-bit-depth frames fall back to the
+        # golden path this round (10/12-bit transforms need int64
+        # intermediates, which jnp silently truncates without x64 mode)
         from ..codecs.vp9 import golden
         golden.recon_frame(s)
         golden.loopfilter_frame(s)
