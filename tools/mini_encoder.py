@@ -242,25 +242,32 @@ class CoeffEncoder:
         return eob
 
 
-def _header_bits(w, h, bpp):
-    """Uncompressed keyframe header bits up to (excl.) the compressed
-    header size field. Lossless, no segmentation, single tile."""
+def _header_bits(w, h, bpp, intraonly=False):
+    """Uncompressed header bits up to (excl.) the compressed header size
+    field. Keyframe, or an invisible intra-only frame (refreshing slot
+    0). Lossless, no segmentation, single tile."""
     profile = 0 if bpp == 8 else 2
     gb = BitWriter()
     gb.put(0b10, 2)                # frame marker
     gb.put(profile & 1, 1)         # profile low bit
     gb.put((profile >> 1) & 1, 1)  # profile high bit
     gb.put(0, 1)                   # show_existing_frame
-    gb.put(0, 1)                   # frame type: keyframe
-    gb.put(1, 1)                   # show_frame
+    gb.put(1 if intraonly else 0, 1)  # frame type (1 = non-key)
+    gb.put(0 if intraonly else 1, 1)  # show_frame
     gb.put(0, 1)                   # error_resilient
-    gb.put(0x498342, 24)           # sync code
-    # colorspace details
-    if profile >= 2:
-        gb.put(0 if bpp == 10 else 1, 1)  # ten/twelve bit
-    gb.put(0, 3)                   # colorspace: unspecified
-    gb.put(0, 1)                   # color range
-    # profile 0/2: 4:2:0 implied, no subsampling bits
+    if intraonly:
+        gb.put(1, 1)               # intra_only
+        gb.put(0, 2)               # reset_frame_context
+        gb.put(0x498342, 24)       # sync code
+        assert profile == 0, "intra-only helper is profile 0 only"
+        gb.put(0x01, 8)            # refresh slot 0
+    else:
+        gb.put(0x498342, 24)       # sync code
+        if profile >= 2:
+            gb.put(0 if bpp == 10 else 1, 1)  # ten/twelve bit
+        gb.put(0, 3)               # colorspace: unspecified
+        gb.put(0, 1)               # color range
+        # profile 0/2: 4:2:0 implied, no subsampling bits
     gb.put(w - 1, 16)
     gb.put(h - 1, 16)
     gb.put(0, 1)                   # no display size
@@ -377,7 +384,7 @@ def encode_keyframe_gray(w, h, bpp=8):
     return _finish(hdr, chdr, t.bytes())
 
 
-def encode_keyframe_lossless(y, u, v, bpp=8):
+def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False):
     """Lossless keyframe with real content: DC-predicted 4x4 blocks with
     WHT-coded residuals (profile 0 at 8-bit, profile 2 at 10/12-bit).
     y/u/v: int arrays (u, v at 4:2:0)."""
@@ -404,7 +411,7 @@ def encode_keyframe_lossless(y, u, v, bpp=8):
     pu_ = pad(np.asarray(u, np.int64), H64 >> 1, W64 >> 1)
     pv_ = pad(np.asarray(v, np.int64), H64 >> 1, W64 >> 1)
 
-    gbs = _header_bits(w, h, bpp)
+    gbs = _header_bits(w, h, bpp, intraonly=intraonly)
     c = BoolEncoder()
     c.put(0, 128)
     c.put(0, 128)
@@ -559,6 +566,29 @@ def main():
         lines = [l for l in out.stdout.decode().splitlines()
                  if l and not l.startswith("#")]
         print(name, f"{w}x{h}@{bpp}bit:", len(lines), "frame(s)")
+
+    # intra-only: keyframe, then an invisible intra-only frame shown via
+    # show-existing in a superframe
+    from ffmpeg_hybrid_tpu.formats.superframe import merge_superframe
+    w = h = 64
+    kf = encode_keyframe_gray(w, h, 8)
+    yp = rng.randint(0, 256, (h, w))
+    up = rng.randint(0, 256, (h // 2, w // 2))
+    vp = rng.randint(0, 256, (h // 2, w // 2))
+    io = encode_keyframe_lossless(yp, up, vp, 8, intraonly=True)
+    se = bytes([(0b10 << 6) | (1 << 3) | 0])  # show-existing slot 0
+    sf = merge_superframe([io, se])
+    path = os.path.join(vec, "mini_intraonly.ivf")
+    write_ivf(path, b"VP90", w, h, 30, 1, [(0, kf), (33, sf)])
+    out = subprocess.run(
+        [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+         "-f", "framemd5", "-"], capture_output=True)
+    if out.returncode == 0:
+        with open(os.path.join(vec, "mini_intraonly.framemd5"),
+                  "wb") as fh:
+            fh.write(out.stdout)
+        print("mini_intraonly: keyframe + invisible intra-only via "
+              "superframe")
 
 
 if __name__ == "__main__":
