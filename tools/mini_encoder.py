@@ -590,6 +590,185 @@ def main():
         print("mini_intraonly: keyframe + invisible intra-only via "
               "superframe")
 
+    # inter frames (all-skip ZEROMV off ref slot 0).  mini_inter: same
+    # size (unscaled MC).  mini_scaled: the inter frame is 2x the
+    # keyframe -> exercises the scaled-reference MC path e2e
+    # (vp9recon.c mc_luma_scaled/mc_chroma_scaled).  NOTE framemd5 must
+    # be taken with -noautoscale: the ffmpeg CLI otherwise swscales
+    # every frame to the first frame's size.
+    rng2 = np.random.RandomState(9)
+    yp = rng2.randint(0, 256, (64, 64))
+    up = rng2.randint(0, 256, (32, 32))
+    vp = rng2.randint(0, 256, (32, 32))
+    kf = encode_keyframe_lossless(yp, up, vp, 8)
+    for name, iw, ih in (("mini_inter", 64, 64), ("mini_scaled", 128, 128)):
+        pkt = encode_inter_zeromv(iw, ih)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", iw, ih, 30, 1, [(0, kf), (33, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-noautoscale", "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode == 0:
+            with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+                fh.write(out.stdout)
+            print(name, f"keyframe 64x64 + inter {iw}x{ih} (zeromv)")
+        else:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+
+
+def encode_inter_zeromv(w, h):
+    """Visible inter frame (profile 0, lossless, all-skip, ZEROMV, single
+    ref slot 0, refreshing slot 1). With a different size than its
+    reference this exercises the scaled-reference MC path."""
+    gb = BitWriter()
+    gb.put(0b10, 2)
+    gb.put(0, 1)
+    gb.put(0, 1)        # profile 0
+    gb.put(0, 1)        # show_existing
+    gb.put(1, 1)        # non-keyframe
+    gb.put(1, 1)        # show_frame
+    gb.put(0, 1)        # error_resilient
+    gb.put(0, 2)        # reset_frame_context
+    gb.put(0x02, 8)     # refresh slot 1
+    for _ in range(3):
+        gb.put(0, 3)    # refidx = 0
+        gb.put(0, 1)    # sign bias
+    gb.put(0, 1)        # size-from-ref0? no
+    gb.put(0, 1)        # ref1? no
+    gb.put(0, 1)        # ref2? no
+    gb.put(w - 1, 16)
+    gb.put(h - 1, 16)
+    gb.put(0, 1)        # display size
+    gb.put(0, 1)        # high precision mvs
+    gb.put(0, 1)        # filter not switchable...
+    gb.put(0, 2)        # ... FILTER_8TAP_SMOOTH
+    gb.put(0, 1)        # refresh_frame_context
+    gb.put(0, 1)        # frame_parallel
+    gb.put(0, 2)        # frame_context_idx
+    gb.put(0, 6)        # lf level
+    gb.put(0, 3)        # sharpness
+    gb.put(0, 1)        # lf delta
+    gb.put(0, 8)        # yac_qi = 0 (lossless)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)        # segmentation
+    sb_cols = (w + 63) >> 6
+    min_log2 = 0
+    while sb_cols > (64 << min_log2):
+        min_log2 += 1
+    mx = 0
+    while (sb_cols >> mx) >= 4:
+        mx += 1
+    mx = max(0, mx - 1)
+    if mx > min_log2:
+        gb.put(0, 1)
+    gb.put(0, 1)        # log2_tile_rows
+
+    c = BoolEncoder()
+    c.put(0, 128)       # marker
+    c.put(0, 128)       # coef update flag (i=0, lossless)
+    for _ in range(3):
+        c.put(0, 252)   # skip probs
+    for _ in range(7 * 3):
+        c.put(0, 252)   # mv_mode probs
+    # filter not switchable -> no filter probs
+    for _ in range(4):
+        c.put(0, 252)   # intra probs
+    # allowcompinter false -> single ref implied
+    for _ in range(5 * 2):
+        c.put(0, 252)   # single_ref probs
+    for _ in range(4 * 9):
+        c.put(0, 252)   # y_mode
+    for _ in range(4 * 4 * 3):
+        c.put(0, 252)   # partition
+    for _ in range(3):
+        c.put(0, 252)   # mv_joint
+    for _ in range(2 * (1 + 10 + 1 + 10)):
+        c.put(0, 252)   # mv sign/classes/class0/bits
+    for _ in range(2 * (2 * 3 + 3)):
+        c.put(0, 252)   # class0_fp / fp
+    # no hp (highprecisionmvs = 0)
+    chdr = c.bytes()
+    gb.put(len(chdr), 16)
+    hdr = gb.bytes()
+
+    t = BoolEncoder()
+    t.put(0, 128)
+    sb_rows = (h + 63) >> 6
+    cols = (w + 7) >> 3
+    rows = (h + 7) >> 3
+    ZEROMV = 12
+    part_probs = T.PROBS_PARTITION  # inter frames use the frame probs
+    ptree = T.PARTITION_TREE
+    above_part = np.zeros(sb_cols * 8, np.uint8)
+    above_skip = np.zeros(sb_cols * 8, np.uint8)
+    above_mode = np.full(sb_cols * 8, 10, np.uint8)  # NEARESTMV init
+    left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8),
+            "mode": np.full(8, 10, np.uint8)}
+    first = [True]
+
+    def encode_block(r, ccol, bl, bp):
+        bs = bl * 3 + bp
+        row7 = r & 7
+        have_a = r > 0
+        have_l = ccol > 0
+        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+        t.put(1, int(T.PROBS_SKIP[sctx]))          # skip = 1
+        t.put(1, int(T.PROBS_INTRA[0]))            # is_inter
+        # single ref bit 0 (-> ref 0); ctx: 2 for very first block, else
+        # with inter neighbours (ref 0): 4 (or 4 for single-neighbour)
+        rctx = 2 if (not have_a and not have_l) else 4
+        t.put(0, int(T.PROBS_SINGLE_REF[rctx][0]))
+        mctx = 6
+        am = int(above_mode[ccol])
+        lm = int(left["mode"][row7])
+        lut_lo = [[5]*10 + [2, 2, 1, 3], [5]*10 + [2, 2, 1, 3],
+                  [5]*10 + [1, 1, 0, 3], [5]*10 + [3, 3, 3, 4]]
+        if am < 10:
+            mctx = 6 if lm < 10 else 5
+        else:
+            mctx = lut_lo[am - 10][lm]
+        t.put_tree(T.INTER_MODE_TREE, T.PROBS_MV_MODE[mctx], ZEROMV)
+        nw = int(T.BWH_TAB[1][bs][0])
+        nh = int(T.BWH_TAB[1][bs][1])
+        above_skip[ccol:ccol + nw] = 1
+        above_part[ccol:ccol + nw] = [0x0, 0x0, 0x8][bs] if bs < 3 else 0
+        above_mode[ccol:ccol + nw] = ZEROMV
+        left["skip"][row7:row7 + nh] = 1
+        left["part"][row7:row7 + nh] = [0x0, 0x8, 0x0][bs] if bs < 3 else 0
+        left["mode"][row7:row7 + nh] = ZEROMV
+
+    def encode_sb(r, ccol, bl):
+        ctx = ((int(above_part[ccol]) >> (3 - bl)) & 1) | \
+              (((int(left["part"][r & 7]) >> (3 - bl)) & 1) << 1)
+        p = part_probs[bl][ctx]
+        hbs = 4 >> bl
+        if bl == 3:
+            t.put_tree(ptree, p, 0)
+            encode_block(r, ccol, bl, 0)
+        elif ccol + hbs < cols:
+            if r + hbs < rows:
+                t.put_tree(ptree, p, 0)
+                encode_block(r, ccol, bl, 0)
+            else:
+                t.put(0, int(p[1]))
+                encode_block(r, ccol, bl, 1)
+        elif r + hbs < rows:
+            t.put(0, int(p[2]))
+            encode_block(r, ccol, bl, 2)
+        else:
+            encode_sb(r, ccol, bl + 1)
+
+    for r in range(0, sb_rows * 8, 8):
+        left["part"][:] = 0
+        left["skip"][:] = 0
+        left["mode"][:] = 10
+        for ccol in range(0, sb_cols * 8, 8):
+            encode_sb(r, ccol, 0)
+    return _finish(hdr, chdr, t.bytes())
+
 
 if __name__ == "__main__":
     main()
