@@ -242,15 +242,22 @@ class CoeffEncoder:
         return eob
 
 
-def _header_bits(w, h, bpp, intraonly=False):
+def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1):
     """Uncompressed header bits up to (excl.) the compressed header size
     field. Keyframe, or an invisible intra-only frame (refreshing slot
-    0). Lossless, no segmentation, single tile."""
-    profile = 0 if bpp == 8 else 2
+    0). Lossless, no segmentation, single tile. Non-4:2:0 subsampling
+    selects profile 1 (8-bit) / 3 (HBD); vp9.c:457-517 colorspace
+    syntax."""
+    if ss_h and ss_v:
+        profile = 0 if bpp == 8 else 2
+    else:
+        profile = 1 if bpp == 8 else 3
     gb = BitWriter()
     gb.put(0b10, 2)                # frame marker
     gb.put(profile & 1, 1)         # profile low bit
     gb.put((profile >> 1) & 1, 1)  # profile high bit
+    if profile == 3:
+        gb.put(0, 1)               # reserved
     gb.put(0, 1)                   # show_existing_frame
     gb.put(1 if intraonly else 0, 1)  # frame type (1 = non-key)
     gb.put(0 if intraonly else 1, 1)  # show_frame
@@ -267,6 +274,10 @@ def _header_bits(w, h, bpp, intraonly=False):
             gb.put(0 if bpp == 10 else 1, 1)  # ten/twelve bit
         gb.put(0, 3)               # colorspace: unspecified
         gb.put(0, 1)               # color range
+        if profile & 1:
+            gb.put(ss_h, 1)
+            gb.put(ss_v, 1)
+            gb.put(0, 1)           # reserved
         # profile 0/2: 4:2:0 implied, no subsampling bits
     gb.put(w - 1, 16)
     gb.put(h - 1, 16)
@@ -384,10 +395,12 @@ def encode_keyframe_gray(w, h, bpp=8):
     return _finish(hdr, chdr, t.bytes())
 
 
-def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False):
+def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
+                             ss_h=1, ss_v=1):
     """Lossless keyframe with real content: DC-predicted 4x4 blocks with
-    WHT-coded residuals (profile 0 at 8-bit, profile 2 at 10/12-bit).
-    y/u/v: int arrays (u, v at 4:2:0)."""
+    WHT-coded residuals. 4:2:0 -> profile 0 (8-bit) / 2 (10/12-bit);
+    other subsamplings (4:4:4, 4:2:2, 4:4:0) -> profile 1 / 3.
+    y/u/v: int arrays (u, v at the chosen subsampling)."""
     from ffmpeg_hybrid_tpu.codecs.vp9.golden import MODE_CONV, _build_edges
     from ffmpeg_hybrid_tpu.ops.intra import intra_pred
     from ffmpeg_hybrid_tpu.codecs.vp9.probs import coef_full
@@ -408,10 +421,11 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False):
 
     H64, W64 = sb_rows * 64, sb_cols * 64
     py_ = pad(np.asarray(y, np.int64), H64, W64)
-    pu_ = pad(np.asarray(u, np.int64), H64 >> 1, W64 >> 1)
-    pv_ = pad(np.asarray(v, np.int64), H64 >> 1, W64 >> 1)
+    pu_ = pad(np.asarray(u, np.int64), H64 >> ss_v, W64 >> ss_h)
+    pv_ = pad(np.asarray(v, np.int64), H64 >> ss_v, W64 >> ss_h)
 
-    gbs = _header_bits(w, h, bpp, intraonly=intraonly)
+    gbs = _header_bits(w, h, bpp, intraonly=intraonly, ss_h=ss_h,
+                       ss_v=ss_v)
     c = BoolEncoder()
     c.put(0, 128)
     c.put(0, 128)
@@ -442,22 +456,22 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False):
             "ynnz": np.zeros(16, np.uint8),
             "uvnnz": np.zeros((2, 16), np.uint8)}
 
-    def enc_plane_coeffs(plane, probs11, row, col, ss, a_n, l_n, pl_w4,
+    def enc_plane_coeffs(plane, probs11, row, col, sh, sv, a_n, l_n,
                          tcs):
-        end_x = min(2 * (cols - col), 16) >> ss
-        end_y = min(2 * (rows - row), 16) >> ss
-        w4full = 16 >> ss
-        a0 = col << (1 - ss)
-        l0 = (row & 7) << (1 - ss)
+        end_x = min(2 * (cols - col), 16) >> sh
+        end_y = min(2 * (rows - row), 16) >> sv
+        w4full = 16 >> sh
+        a0 = col << (1 - sh)
+        l0 = (row & 7) << (1 - sv)
         for yy in range(0, end_y):
             for xx in range(0, end_x):
-                ppy = ((row * 8) >> ss) + yy * 4
-                ppx = ((col * 8) >> ss) + xx * 4
+                ppy = ((row * 8) >> sv) + yy * 4
+                ppx = ((col * 8) >> sh) + xx * 4
                 have_top = row > 0 or yy > 0
                 have_left = col > tcs or xx > 0
                 have_right = xx < w4full - 1
-                n_have_top = (((cols - col) << (0 if ss else 1)) - xx) * 4
-                n_have_left = (((rows - row) << (0 if ss else 1)) - yy) * 4
+                n_have_top = (((cols - col) << (0 if sh else 1)) - xx) * 4
+                n_have_left = (((rows - row) << (0 if sv else 1)) - yy) * 4
                 m = MODE_CONV[DC][1 if have_left else 0][
                     1 if have_top else 0]
                 l_e, a_e = _build_edges(plane, ppy, ppx, 4, 0, m,
@@ -477,12 +491,12 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False):
         t.put_tree(imtree, T.DEFAULT_KF_YMODE_PROBS[DC][DC], DC)
         t.put_tree(imtree, T.DEFAULT_KF_UVMODE_PROBS[DC], DC)
         # coefficients: Y then U, V (intra: coef11[tx][plane][0])
-        enc_plane_coeffs(py_, coef11[0][0][0], r, ccol, 0, a_ynnz,
-                         left["ynnz"], 16, 0)
-        enc_plane_coeffs(pu_, coef11[0][1][0], r, ccol, 1, a_uvnnz[0],
-                         left["uvnnz"][0], 8, 0)
-        enc_plane_coeffs(pv_, coef11[0][1][0], r, ccol, 1, a_uvnnz[1],
-                         left["uvnnz"][1], 8, 0)
+        enc_plane_coeffs(py_, coef11[0][0][0], r, ccol, 0, 0, a_ynnz,
+                         left["ynnz"], 0)
+        enc_plane_coeffs(pu_, coef11[0][1][0], r, ccol, ss_h, ss_v,
+                         a_uvnnz[0], left["uvnnz"][0], 0)
+        enc_plane_coeffs(pv_, coef11[0][1][0], r, ccol, ss_h, ss_v,
+                         a_uvnnz[1], left["uvnnz"][1], 0)
         bs = bl * 3 + bp
         nw = int(T.BWH_TAB[1][bs][0])
         nh = int(T.BWH_TAB[1][bs][1])
@@ -566,6 +580,35 @@ def main():
         lines = [l for l in out.stdout.decode().splitlines()
                  if l and not l.startswith("#")]
         print(name, f"{w}x{h}@{bpp}bit:", len(lines), "frame(s)")
+
+    # profile 1/3: non-4:2:0 subsamplings (4:4:4, 4:2:2, 4:4:0)
+    sub_specs = [("mini_444_64", 64, 64, 8, 0, 0),
+                 ("mini_422_64", 64, 64, 8, 1, 0),
+                 ("mini_440_64", 64, 64, 8, 0, 1),
+                 ("mini_422_98x66", 98, 66, 8, 1, 0),
+                 ("mini_444_12_64", 64, 64, 12, 0, 0),
+                 ("mini_422_10_64", 64, 64, 10, 1, 0)]
+    for name, w, h, bpp, ss_h, ss_v in sub_specs:
+        mxv = (1 << bpp) - 1
+        cw = (w + ss_h) >> ss_h
+        ch = (h + ss_v) >> ss_v
+        yp = rng.randint(0, mxv + 1, (h, w))
+        up = rng.randint(0, mxv + 1, (ch, cw))
+        vp = rng.randint(0, mxv + 1, (ch, cw))
+        pkt = encode_keyframe_lossless(yp, up, vp, bpp, ss_h=ss_h,
+                                       ss_v=ss_v)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1, [(0, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode != 0:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+            continue
+        with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+            fh.write(out.stdout)
+        print(name, f"{w}x{h}@{bpp}bit ss_h={ss_h} ss_v={ss_v}")
 
     # intra-only: keyframe, then an invisible intra-only frame shown via
     # show-existing in a superframe
