@@ -242,7 +242,10 @@ class CoeffEncoder:
         return eob
 
 
-def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1):
+SEG_TREE_PROBS = [128] * 7
+
+
+def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False):
     """Uncompressed header bits up to (excl.) the compressed header size
     field. Keyframe, or an invisible intra-only frame (refreshing slot
     0). Lossless, no segmentation, single tile. Non-4:2:0 subsampling
@@ -294,7 +297,24 @@ def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1):
     gb.put(0, 1)
     gb.put(0, 1)
     gb.put(0, 1)
-    gb.put(0, 1)                   # segmentation disabled
+    if seg:
+        # segmentation: explicit map (tree probs 128), no temporal
+        # prediction; segment 1 has the SKIP feature
+        gb.put(1, 1)               # enabled
+        gb.put(1, 1)               # update_map
+        for p in SEG_TREE_PROBS:
+            gb.put(1, 1)
+            gb.put(p, 8)
+        gb.put(0, 1)               # temporal
+        gb.put(1, 1)               # update data
+        gb.put(0, 1)               # absolute values
+        for sid in range(8):
+            gb.put(0, 1)           # q feature
+            gb.put(0, 1)           # lf feature
+            gb.put(0, 1)           # ref feature
+            gb.put(1 if sid == 1 else 0, 1)  # skip feature
+    else:
+        gb.put(0, 1)               # segmentation disabled
     # tiling
     sb_cols = (w + 63) >> 6
     min_log2 = 0
@@ -396,7 +416,7 @@ def encode_keyframe_gray(w, h, bpp=8):
 
 
 def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
-                             ss_h=1, ss_v=1):
+                             ss_h=1, ss_v=1, seg=False):
     """Lossless keyframe with real content: DC-predicted 4x4 blocks with
     WHT-coded residuals. 4:2:0 -> profile 0 (8-bit) / 2 (10/12-bit);
     other subsamplings (4:4:4, 4:2:2, 4:4:0) -> profile 1 / 3.
@@ -425,7 +445,7 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
     pv_ = pad(np.asarray(v, np.int64), H64 >> ss_v, W64 >> ss_h)
 
     gbs = _header_bits(w, h, bpp, intraonly=intraonly, ss_h=ss_h,
-                       ss_v=ss_v)
+                       ss_v=ss_v, seg=seg)
     c = BoolEncoder()
     c.put(0, 128)
     c.put(0, 128)
@@ -486,24 +506,44 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
 
     def encode_block(r, ccol, bl, bp):
         row7 = r & 7
-        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
-        t.put(0, int(T.PROBS_SKIP[sctx]))          # skip = 0
-        t.put_tree(imtree, T.DEFAULT_KF_YMODE_PROBS[DC][DC], DC)
-        t.put_tree(imtree, T.DEFAULT_KF_UVMODE_PROBS[DC], DC)
-        # coefficients: Y then U, V (intra: coef11[tx][plane][0])
-        enc_plane_coeffs(py_, coef11[0][0][0], r, ccol, 0, 0, a_ynnz,
-                         left["ynnz"], 0)
-        enc_plane_coeffs(pu_, coef11[0][1][0], r, ccol, ss_h, ss_v,
-                         a_uvnnz[0], left["uvnnz"][0], 0)
-        enc_plane_coeffs(pv_, coef11[0][1][0], r, ccol, ss_h, ss_v,
-                         a_uvnnz[1], left["uvnnz"][1], 0)
         bs = bl * 3 + bp
         nw = int(T.BWH_TAB[1][bs][0])
         nh = int(T.BWH_TAB[1][bs][1])
-        above_skip[ccol:ccol + nw] = 0
+        skip_forced = False
+        if seg:
+            sid = ((r >> 3) + (ccol >> 3)) & 1
+            t.put_tree(T.SEGMENTATION_TREE, SEG_TREE_PROBS, sid)
+            skip_forced = sid == 1
+        if not skip_forced:
+            sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+            t.put(0, int(T.PROBS_SKIP[sctx]))      # skip = 0
+        t.put_tree(imtree, T.DEFAULT_KF_YMODE_PROBS[DC][DC], DC)
+        t.put_tree(imtree, T.DEFAULT_KF_UVMODE_PROBS[DC], DC)
+        if skip_forced:
+            # decoder zeroes nnz contexts over the block span
+            # (SPLAT_ZERO_YUV)
+            a_ynnz[ccol * 2:(ccol + nw) * 2] = 0
+            left["ynnz"][row7 * 2:(row7 + nh) * 2] = 0
+            if ss_h:
+                a_uvnnz[:, ccol:ccol + nw] = 0
+            else:
+                a_uvnnz[:, ccol * 2:(ccol + nw) * 2] = 0
+            if ss_v:
+                left["uvnnz"][:, row7:row7 + nh] = 0
+            else:
+                left["uvnnz"][:, row7 * 2:(row7 + nh) * 2] = 0
+        else:
+            # coefficients: Y then U, V (intra: coef11[tx][plane][0])
+            enc_plane_coeffs(py_, coef11[0][0][0], r, ccol, 0, 0, a_ynnz,
+                             left["ynnz"], 0)
+            enc_plane_coeffs(pu_, coef11[0][1][0], r, ccol, ss_h, ss_v,
+                             a_uvnnz[0], left["uvnnz"][0], 0)
+            enc_plane_coeffs(pv_, coef11[0][1][0], r, ccol, ss_h, ss_v,
+                             a_uvnnz[1], left["uvnnz"][1], 0)
+        above_skip[ccol:ccol + nw] = 1 if skip_forced else 0
         above_part[ccol:ccol + nw] = \
             [0x0, 0x0, 0x8, 0x8][bs] if bs < 4 else 0
-        left["skip"][row7:row7 + nh] = 0
+        left["skip"][row7:row7 + nh] = 1 if skip_forced else 0
         left["part"][row7:row7 + nh] = \
             [0x0, 0x8, 0x0, 0x8][bs] if bs < 4 else 0
 
@@ -609,6 +649,27 @@ def main():
         with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
             fh.write(out.stdout)
         print(name, f"{w}x{h}@{bpp}bit ss_h={ss_h} ss_v={ss_v}")
+
+    # segmentation: explicit seg map, segment 1 with the SKIP feature
+    # (checkerboard of coded / skip-forced superblocks)
+    for name, w, h in (("mini_seg_128x72", 128, 72),
+                       ("mini_seg_130x70", 130, 70)):
+        yp = rng.randint(0, 256, (h, w))
+        up = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+        vp = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+        pkt = encode_keyframe_lossless(yp, up, vp, 8, seg=True)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1, [(0, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode == 0:
+            with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+                fh.write(out.stdout)
+            print(name, f"{w}x{h} segmentation (skip feature)")
+        else:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
 
     # intra-only: keyframe, then an invisible intra-only frame shown via
     # show-existing in a superframe
