@@ -20,6 +20,7 @@ from .header import (Header, parse_uncompressed_header,
                      parse_compressed_header)
 from .probs import Probs
 from .prob import adapt_probs
+from ...utils.metrics import metrics
 from .rac import BoolDecoder
 from .counts import Counts
 
@@ -366,7 +367,8 @@ class VP9Decoder:
         self.probs = self.prob_ctx[c].copy()
         self.coef11, _ = parse_compressed_header(chdr, h, self.probs)
 
-        self._setup_arrays()
+        with metrics.timer("decode.setup_arrays"):
+            self._setup_arrays()
 
         # forward context refresh in parallel mode (reference: vp9.c:1738-52)
         if h.refreshctx and h.parallelmode:
@@ -381,27 +383,30 @@ class VP9Decoder:
         # pass A: tile entropy decode (native C fast path when built)
         tile_data = data[h.uncompressed_header_size
                          + h.compressed_header_size:]
-        if self.use_native:
-            from ...passa_native import decode_tiles_native
-            self.native_counts = Counts()
-            decode_tiles_native(self, tile_data)
-            counts = self.native_counts
-        else:
-            counts = self._decode_tiles(tile_data)
+        with metrics.timer("decode.pass_a"):
+            if self.use_native:
+                from ...passa_native import decode_tiles_native
+                self.native_counts = Counts()
+                decode_tiles_native(self, tile_data)
+                counts = self.native_counts
+            else:
+                counts = self._decode_tiles(tile_data)
 
         # backward probability adaptation (reference: vp9.c:1821-1824)
         if h.refreshctx and not h.parallelmode:
-            adapt_probs(self.prob_ctx[c], self.probs, counts, h,
-                        self.last_keyframe)
+            with metrics.timer("decode.adapt_probs"):
+                adapt_probs(self.prob_ctx[c], self.probs, counts, h,
+                            self.last_keyframe)
 
         # pass B: reconstruction
-        if self.recon_backend == "golden":
-            from . import golden
-            golden.recon_frame(self)
-            golden.loopfilter_frame(self)
-        else:
-            from ...ops import recon_tpu
-            recon_tpu.recon_frame(self)
+        with metrics.timer("decode.pass_b"):
+            if self.recon_backend == "golden":
+                from . import golden
+                golden.recon_frame(self)
+                golden.loopfilter_frame(self)
+            else:
+                from ...ops import recon_tpu
+                recon_tpu.recon_frame(self)
 
         # reference slot rotation (reference: vp9.c:1688-1692, 1849-1851)
         for i in range(8):

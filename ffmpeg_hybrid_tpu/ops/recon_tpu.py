@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.metrics import metrics
+
 from . import itxfm
 from . import intra_tables as it
 from ..codecs.vp9 import tables as T
@@ -51,6 +53,8 @@ for _m in range(16):
 def _residual_for_size(coef, eob4, txsz4, txtype4, tx, lossless, bpp,
                        hsz, wsz):
     """Residual contribution of all tiles of size `tx` -> [H, W] int32."""
+    if coef.dtype == jnp.int16:
+        coef = coef.astype(jnp.int32)  # 8bpp coefs upload narrow
     sz = 4 << tx
     k = sz // 4
     H, W = coef.shape
@@ -105,8 +109,9 @@ def residual_plane(coef, eob4, txsz4, txtype4, lossless, bpp):
 # inter pass: per-4x4-cell MC
 
 
-@partial(jax.jit, static_argnames=("bpp",))
-def _mc_cells(refstack, mv16, refsel, comp, filt, inter_mask, w, h, bpp):
+@partial(jax.jit, static_argnames=("bpp", "mvsx", "mvsy"))
+def _mc_cells(refstack, mv16, refsel, comp, filt, inter_mask, w, h, bpp,
+              mvsx=1, mvsy=1):
     """MC every 4x4 cell.
 
     refstack: [3, Hp, Wp] candidate ref planes (b.ref -> plane index).
@@ -115,6 +120,9 @@ def _mc_cells(refstack, mv16, refsel, comp, filt, inter_mask, w, h, bpp):
     filt: [r4, c4] int32; inter_mask: [r4, c4] bool.
     Returns [r4*4, c4*4] int32 MC plane (garbage at non-inter cells).
     """
+    mv16 = mv16.astype(jnp.int32)
+    refsel = refsel.astype(jnp.int32)
+    filt = filt.astype(jnp.int32)
     r4, c4 = mv16.shape[:2]
     Hp, Wp = refstack.shape[1:]
     cy = (jnp.arange(r4) * 4)[:, None]
@@ -122,8 +130,8 @@ def _mc_cells(refstack, mv16, refsel, comp, filt, inter_mask, w, h, bpp):
     ftab = jnp.asarray(_FTAB)
 
     def one_ref(ri):
-        mvx = mv16[:, :, ri, 0]
-        mvy = mv16[:, :, ri, 1]
+        mvx = mv16[:, :, ri, 0] * mvsx
+        mvy = mv16[:, :, ri, 1] * mvsy
         iy = cy + (mvy >> 4)
         ix = cx + (mvx >> 4)
         mx = mvx & 15
@@ -374,11 +382,12 @@ def run_intra_plane(s, plane_dev, residual_dev, levels):
                 modes[i] = m
                 pys[i] = py
                 pxs[i] = px
-            plane_dev = _intra_level_jit(
-                plane_dev, residual_dev, jnp.asarray(eidx),
-                jnp.asarray(emask), jnp.asarray(econst),
-                jnp.asarray(modes), jnp.asarray(pys), jnp.asarray(pxs),
-                sz, bpp)
+            with metrics.timer("intra.level_dispatch"):
+                plane_dev = _intra_level_jit(
+                    plane_dev, residual_dev, jnp.asarray(eidx),
+                    jnp.asarray(emask), jnp.asarray(econst),
+                    jnp.asarray(modes), jnp.asarray(pys),
+                    jnp.asarray(pxs), sz, bpp)
     return plane_dev
 
 
@@ -409,19 +418,27 @@ def recon_frame(s):
             coef, eob4 = s.coef_y, s.eob_y
             txsz4, txtype4 = s.txsz4, s.txtype4
             inter4 = s.inter4
-            mvg = s.mv4.astype(np.int32) * 2
+            mvg = s.mv4              # raw int16; scaled x2 on device
+            mvsx = mvsy = 2
         else:
             coef = s.coef_u if plane_idx == 1 else s.coef_v
             eob4 = s.eob_u if plane_idx == 1 else s.eob_v
             txsz4 = s.uvtx4
             txtype4 = np.zeros_like(s.uvtx4)
             inter4 = s.inter4uv
-            mvg = s.uvmv4.astype(np.int32)
-            mvg = np.stack([mvg[..., 0] * (1 << (1 - h.ss_h)),
-                            mvg[..., 1] * (1 << (1 - h.ss_v))], axis=-1)
+            mvg = s.uvmv4            # raw int16; per-axis scale on device
+            mvsx = 1 << (1 - h.ss_h)
+            mvsy = 1 << (1 - h.ss_v)
 
         has_inter = bool(inter4.any())
-        plane_dev = jnp.asarray(cur.planes[plane_idx], jnp.int32)
+        # a fresh frame's plane is all-zero: materialize it on device
+        # instead of uploading ~8MB of zeros through the host link
+        plane_dev = jnp.zeros(cur.planes[plane_idx].shape, jnp.int32)
+        with metrics.timer("recon.upload_coef"):
+            # 8bpp dctcoefs fit int16 (spec inter-pass wraparound);
+            # halve the h2d volume and widen on device
+            coef_dev = jnp.asarray(coef.astype(np.int16))
+            eob_dev = jnp.asarray(eob4.astype(np.int16))
         if has_inter:
             w, hh = cur.size
             if plane_idx:
@@ -440,33 +457,38 @@ def recon_frame(s):
                                                  jnp.int32))
             refstack = jnp.stack(refplanes, axis=0)
             if plane_idx == 0:
-                refsel = np.clip(s.ref4, 0, 2).astype(np.int32)
+                refsel = np.clip(s.ref4, 0, 2).astype(np.int8)
                 comp = s.comp4
-                filt = s.filter4.astype(np.int32)
+                filt = np.ascontiguousarray(s.filter4)
             else:
                 sv = 2 if h.ss_v else 1
                 sh = 2 if h.ss_h else 1
-                refsel = np.clip(s.ref4[::sv, ::sh], 0, 2).astype(np.int32)
-                comp = s.comp4[::sv, ::sh]
-                filt = s.filter4[::sv, ::sh].astype(np.int32)
-            plane_dev, residual = _recon_plane_inter(
-                plane_dev, jnp.asarray(coef, dt), jnp.asarray(eob4),
-                jnp.asarray(txsz4), jnp.asarray(txtype4),
-                refstack, jnp.asarray(mvg),
-                jnp.asarray(refsel), jnp.asarray(comp),
-                jnp.asarray(filt), jnp.asarray(inter4), w, hh,
-                bool(h.lossless), bpp)
+                refsel = np.clip(s.ref4[::sv, ::sh], 0, 2).astype(np.int8)
+                comp = np.ascontiguousarray(s.comp4[::sv, ::sh])
+                filt = np.ascontiguousarray(s.filter4[::sv, ::sh])
+            with metrics.timer("recon.upload_misc"):
+                args = (jnp.asarray(txsz4), jnp.asarray(txtype4),
+                        refstack, jnp.asarray(mvg), jnp.asarray(refsel),
+                        jnp.asarray(comp), jnp.asarray(filt),
+                        jnp.asarray(inter4))
+            with metrics.timer("recon.inter_enqueue"):
+                plane_dev, residual = _recon_plane_inter(
+                    plane_dev, coef_dev, eob_dev, *args, w, hh,
+                    bool(h.lossless), bpp, mvsx, mvsy)
         else:
-            residual = residual_plane(
-                jnp.asarray(coef, dt), jnp.asarray(eob4),
-                jnp.asarray(txsz4), jnp.asarray(txtype4),
-                bool(h.lossless), bpp).astype(jnp.int32)
+            with metrics.timer("recon.residual_enqueue"):
+                residual = residual_plane(
+                    coef_dev, eob_dev,
+                    jnp.asarray(txsz4), jnp.asarray(txtype4),
+                    bool(h.lossless), bpp).astype(jnp.int32)
 
-        levels = _build_intra_schedule(s, plane_idx) if plane_idx < 2 \
-            else s._uv_levels
-        if plane_idx == 1:
-            s._uv_levels = levels  # U and V share geometry/modes
-        plane_dev = run_intra_plane(s, plane_dev, residual, levels)
+        with metrics.timer("recon.intra_sched"):
+            levels = _build_intra_schedule(s, plane_idx) if plane_idx < 2 \
+                else s._uv_levels
+            if plane_idx == 1:
+                s._uv_levels = levels  # U and V share geometry/modes
+        with metrics.timer("recon.intra_run"):
+            plane_dev = run_intra_plane(s, plane_dev, residual, levels)
         outs.append(plane_dev)
 
     # loop filter on device: replay the native walker's recorded edge
@@ -476,20 +498,23 @@ def recon_frame(s):
         try:
             from ..passa_native import lpf_record_native
             from . import lpf_tpu
-            y_rec, ny, uv_rec, nuv = lpf_record_native(s)
-            ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
-            uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
-            if ny:
-                y = lpf_tpu._lf_scan(outs[0][None], jnp.asarray(ysteps),
-                                     bpp)[0]
-            else:
-                y = outs[0]
-            if nuv:
-                uv = lpf_tpu._lf_scan(jnp.stack([outs[1], outs[2]]),
-                                      jnp.asarray(uvsteps), bpp)
-                u, v = uv[0], uv[1]
-            else:
-                u, v = outs[1], outs[2]
+            with metrics.timer("recon.lf_record"):
+                y_rec, ny, uv_rec, nuv = lpf_record_native(s)
+            with metrics.timer("recon.lf_pack"):
+                ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
+                uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
+            with metrics.timer("recon.lf_enqueue"):
+                if ny:
+                    y = lpf_tpu._lf_scan(outs[0][None],
+                                         jnp.asarray(ysteps), bpp)[0]
+                else:
+                    y = outs[0]
+                if nuv:
+                    uv = lpf_tpu._lf_scan(jnp.stack([outs[1], outs[2]]),
+                                          jnp.asarray(uvsteps), bpp)
+                    u, v = uv[0], uv[1]
+                else:
+                    u, v = outs[1], outs[2]
             outs = [y, u, v]
             lf_done = True
         except OSError:
@@ -500,16 +525,22 @@ def recon_frame(s):
 
     if not lf_done and h.filter_level:
         # fallback: pull planes and run the host loop filter
-        cur.sync_host()
-        cur.dev = None
-        from ..codecs.vp9 import golden
-        golden.loopfilter_frame(s)
+        with metrics.timer("recon.lf_host_fallback"):
+            cur.sync_host()
+            cur.dev = None
+            from ..codecs.vp9 import golden
+            golden.loopfilter_frame(s)
 
 
-@partial(jax.jit, static_argnames=("w", "hh", "lossless", "bpp"))
+@partial(jax.jit, static_argnames=("w", "hh", "lossless", "bpp",
+                                   "mvsx", "mvsy"))
 def _recon_plane_inter(plane, coef, eob4, txsz4, txtype4, refstack, mv16,
-                       refsel, comp, filt, inter4, w, hh, lossless, bpp):
-    """Fused inter pass: residual transforms + per-cell MC + apply."""
+                       refsel, comp, filt, inter4, w, hh, lossless, bpp,
+                       mvsx=2, mvsy=2):
+    """Fused inter pass: residual transforms + per-cell MC + apply.
+    Narrow-dtype inputs (int16 coef/mv, int8 sel/filt) are widened here
+    on device to keep the host->device link thin."""
+    coef = coef.astype(jnp.int32)
     residual = jnp.zeros(coef.shape, coef.dtype)
     if lossless:
         residual = _residual_for_size(coef, eob4, txsz4, txtype4, 0, True,
@@ -519,7 +550,8 @@ def _recon_plane_inter(plane, coef, eob4, txsz4, txtype4, refstack, mv16,
             residual = residual + _residual_for_size(
                 coef, eob4, txsz4, txtype4, tx, False, bpp, *coef.shape)
     residual = residual.astype(jnp.int32)
-    mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w, hh, bpp)
+    mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w, hh, bpp,
+                   mvsx, mvsy)
     maxp = (1 << bpp) - 1
     mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0, maxp)
     mask = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)
