@@ -136,32 +136,62 @@ class VP9Decoder:
         self.above_uv_nnz_ctx[0, :sb_cols * 16 >> self.ss_h] = 0
         self.above_uv_nnz_ctx[1, :sb_cols * 16 >> self.ss_h] = 0
         self.above_segpred_ctx[:cols] = 0
-        # per-frame output tensors
+        # per-frame output tensors.  With the native pass A the big
+        # dense buffers are drawn from a small rotating pool at constant
+        # geometry: the C decoder zeroes each coded block's coefficient
+        # region itself, stale cells elsewhere are masked out by the
+        # (re-zeroed) eob grids, and the 3-deep rotation keeps a buffer
+        # alive until any in-flight async device upload of it has long
+        # completed.  The pure-Python pass A writes sparsely and keeps
+        # fresh allocations.
         H64, W64 = sb_rows * 64, sb_cols * 64
         ss_h, ss_v = self.ss_h, self.ss_v
-        self.coef_y = np.zeros((H64, W64), np.int32)
-        self.coef_u = np.zeros((H64 >> ss_v, W64 >> ss_h), np.int32)
-        self.coef_v = np.zeros((H64 >> ss_v, W64 >> ss_h), np.int32)
-        self.eob_y = np.zeros((sb_rows * 16, sb_cols * 16), np.int32)
-        self.eob_u = np.zeros((sb_rows * 16 >> ss_v, sb_cols * 16 >> ss_h),
-                              np.int32)
-        self.eob_v = np.zeros_like(self.eob_u)
-        self.lf_level = np.zeros((sb_rows, sb_cols, 8, 8), np.uint8)
-        self.lf_mask = np.zeros((sb_rows, sb_cols, 2, 2, 8, 4), np.int32)
-        self.blocks: list = []
-        # dense grids for the TPU pass-B backend
         r4, c4 = sb_rows * 16, sb_cols * 16
         r4u, c4u = r4 >> ss_v, c4 >> ss_h
-        self.txsz4 = np.zeros((r4, c4), np.int8)
-        self.txtype4 = np.zeros((r4, c4), np.int8)
-        self.uvtx4 = np.zeros((r4u, c4u), np.int8)
-        self.inter4 = np.zeros((r4, c4), bool)
-        self.inter4uv = np.zeros((r4u, c4u), bool)
-        self.mv4 = np.zeros((r4, c4, 2, 2), np.int16)
-        self.uvmv4 = np.zeros((r4u, c4u, 2, 2), np.int16)
-        self.ref4 = np.zeros((r4, c4, 2), np.int8)
-        self.comp4 = np.zeros((r4, c4), bool)
-        self.filter4 = np.zeros((r4, c4), np.int8)
+
+        def alloc():
+            return {
+                "coef_y": np.zeros((H64, W64), np.int32),
+                "coef_u": np.zeros((H64 >> ss_v, W64 >> ss_h), np.int32),
+                "coef_v": np.zeros((H64 >> ss_v, W64 >> ss_h), np.int32),
+                "eob_y": np.zeros((r4, c4), np.int32),
+                "eob_u": np.zeros((r4u, c4u), np.int32),
+                "eob_v": np.zeros((r4u, c4u), np.int32),
+                "lf_level": np.zeros((sb_rows, sb_cols, 8, 8), np.uint8),
+                "lf_mask": np.zeros((sb_rows, sb_cols, 2, 2, 8, 4),
+                                    np.int32),
+                "txsz4": np.zeros((r4, c4), np.int8),
+                "txtype4": np.zeros((r4, c4), np.int8),
+                "uvtx4": np.zeros((r4u, c4u), np.int8),
+                "inter4": np.zeros((r4, c4), bool),
+                "inter4uv": np.zeros((r4u, c4u), bool),
+                "mv4": np.zeros((r4, c4, 2, 2), np.int16),
+                "uvmv4": np.zeros((r4u, c4u, 2, 2), np.int16),
+                "ref4": np.zeros((r4, c4, 2), np.int8),
+                "comp4": np.zeros((r4, c4), bool),
+                "filter4": np.zeros((r4, c4), np.int8),
+            }
+
+        key = (H64, W64, ss_h, ss_v)
+        if self.use_native:
+            pool = getattr(self, "_geom_pool", None)
+            if pool is None or pool[0] != key:
+                pool = (key, [alloc() for _ in range(3)], [0])
+                self._geom_pool = pool
+            gen = pool[1][pool[2][0] % 3]
+            pool[2][0] += 1
+            for name, arr in gen.items():
+                setattr(self, name, arr)
+            # grids whose stale content is NOT fully overwritten or
+            # masked must be re-zeroed
+            self.eob_y.fill(0)
+            self.eob_u.fill(0)
+            self.eob_v.fill(0)
+            self.lf_mask.fill(0)
+        else:
+            for name, arr in alloc().items():
+                setattr(self, name, arr)
+        self.blocks: list = []
         # cross-block state grids
         self.cur_segmap = self.cur_frame_obj.seg_map
         self.cur_mv = self.cur_frame_obj.mv

@@ -358,41 +358,106 @@ def _pad_to_bucket(n, base=8, mult=4):
     return b
 
 
+@partial(jax.jit, static_argnames=("nb", "sz", "bpp"))
+def _intra_level_packed(plane, residual, packed, off, nb, sz, bpp):
+    """One wavefront level from a packed row buffer.
+    packed rows: [eidx(ne) | emask(ne) | econst(ne) | mode | py | px];
+    `off` is a traced row offset so every level of a given bucket size
+    shares one compiled executable."""
+    ne = it.edge_len(sz)
+    sl = jax.lax.dynamic_slice(packed, (off, 0), (nb, 3 * ne + 3))
+    d = {"eidx": sl[:, :ne], "emask": sl[:, ne:2 * ne].astype(bool),
+         "econst": sl[:, 2 * ne:3 * ne], "modes": sl[:, 3 * ne],
+         "pys": sl[:, 3 * ne + 1], "pxs": sl[:, 3 * ne + 2]}
+    return _intra_batch_apply(plane, residual, d, sz, bpp)
+
+
 def run_intra_plane(s, plane_dev, residual_dev, levels):
     """Run the intra wavefront: one async dispatch per (level, size).
-    Shapes are bucketed small so the jit cache converges after a few
-    frames; dispatches chain device-side without host syncs."""
+
+    All levels' entry metadata is packed host-side into one buffer per
+    block size and uploaded once; each level then dispatches a single
+    dynamic-slice kernel (traced offset). Shape buckets are coarse so
+    the jit cache converges after a few frames; dispatches chain
+    device-side without host syncs."""
     bpp = s.header.bpp
     Hp, Wp = plane_dev.shape
-    for lvl in levels:
-        for sz, entries in lvl.items():
-            n = len(entries)
-            nb = _pad_to_bucket(n, base=8, mult=2)
-            ne = it.edge_len(sz)
-            eidx = np.zeros((nb, ne), np.int32)
-            emask = np.ones((nb, ne), bool)
-            econst = np.zeros((nb, ne), np.int32)
-            modes = np.zeros(nb, np.int32)
-            pys = np.full(nb, Hp + 64, np.int32)  # padded -> dropped
-            pxs = np.full(nb, Wp + 64, np.int32)
-            for i, (py, px, m, ei, em, ec) in enumerate(entries):
-                eidx[i] = ei
-                emask[i] = em
-                econst[i] = ec
-                modes[i] = m
-                pys[i] = py
-                pxs[i] = px
-            with metrics.timer("intra.level_dispatch"):
-                plane_dev = _intra_level_jit(
-                    plane_dev, residual_dev, jnp.asarray(eidx),
-                    jnp.asarray(emask), jnp.asarray(econst),
-                    jnp.asarray(modes), jnp.asarray(pys),
-                    jnp.asarray(pxs), sz, bpp)
+    segs = {}       # sz -> list of packed segments
+    calls = []      # (sz, row offset, bucket rows) in wavefront order
+    offs = {}
+    with metrics.timer("intra.pack"):
+        for lvl in levels:
+            for sz, entries in lvl.items():
+                n = len(entries)
+                nb = _pad_to_bucket(n, base=8, mult=2)
+                ne = it.edge_len(sz)
+                seg = np.zeros((nb, 3 * ne + 3), np.int32)
+                seg[:, ne:2 * ne] = 1          # pad rows: emask on,
+                seg[:, 3 * ne + 1] = Hp + 64   # econst 0, oob -> dropped
+                seg[:, 3 * ne + 2] = Wp + 64
+                for i, (py, px, m, ei, em, ec) in enumerate(entries):
+                    seg[i, :ne] = ei
+                    seg[i, ne:2 * ne] = em
+                    seg[i, 2 * ne:3 * ne] = ec
+                    seg[i, 3 * ne] = m
+                    seg[i, 3 * ne + 1] = py
+                    seg[i, 3 * ne + 2] = px
+                segs.setdefault(sz, []).append(seg)
+                calls.append((sz, offs.get(sz, 0), nb))
+                offs[sz] = offs.get(sz, 0) + nb
+    if not calls:
+        return plane_dev
+    with metrics.timer("intra.upload"):
+        dev = {}
+        for sz, lst in segs.items():
+            buf = np.concatenate(lst, axis=0)
+            # bucket the total row count too, so the packed operand
+            # shape (and thus the compiled executable) converges
+            tot = _pad_to_bucket(buf.shape[0], base=64, mult=2)
+            if tot != buf.shape[0]:
+                pad = np.zeros((tot - buf.shape[0], buf.shape[1]),
+                               np.int32)
+                buf = np.concatenate([buf, pad], axis=0)
+            dev[sz] = jnp.asarray(buf)
+    with metrics.timer("intra.level_dispatch"):
+        for sz, off, nb in calls:
+            plane_dev = _intra_level_packed(plane_dev, residual_dev,
+                                            dev[sz], off, nb, sz, bpp)
     return plane_dev
 
 
 # ---------------------------------------------------------------------------
 # frame orchestration
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _scatter_coef(tiles, tij, H, W):
+    """Rebuild the dense [H, W] int16 coefficient plane from packed
+    nonzero 32x32 tiles (sentinel indices drop)."""
+    c = jnp.zeros((H // 32, W // 32, 32, 32), jnp.int16)
+    c = c.at[tij[:, 0], tij[:, 1]].set(tiles, mode="drop")
+    return c.transpose(0, 2, 1, 3).reshape(H, W)
+
+
+def _pack_coef_host(coef, eob4):
+    """Pack the coefficient plane's nonzero 32x32 tiles (identified via
+    the eob grid, so stale pooled-buffer content is never shipped).
+    Typical inter frames are skip-heavy: this cuts the per-frame h2d
+    volume from ~6MB dense to tens of KB."""
+    H, W = coef.shape
+    th, tw = H // 32, W // 32
+    mask = eob4.reshape(th, 8, tw, 8).any(axis=(1, 3))
+    ti, tj = np.nonzero(mask)
+    k = len(ti)
+    kb = _pad_to_bucket(max(k, 1), base=16, mult=2)
+    tiles = np.zeros((kb, 32, 32), np.int16)
+    if k:
+        view = coef.reshape(th, 32, tw, 32)
+        tiles[:k] = view[ti, :, tj, :]
+    tij = np.full((kb, 2), 1 << 20, np.int32)
+    tij[:k, 0] = ti
+    tij[:k, 1] = tj
+    return tiles, tij
 
 
 def recon_frame(s):
@@ -436,9 +501,10 @@ def recon_frame(s):
         plane_dev = jnp.zeros(cur.planes[plane_idx].shape, jnp.int32)
         with metrics.timer("recon.upload_coef"):
             # 8bpp dctcoefs fit int16 (spec inter-pass wraparound);
-            # halve the h2d volume and widen on device
-            coef_dev = jnp.asarray(coef.astype(np.int16))
-            eob_dev = jnp.asarray(eob4.astype(np.int16))
+            # ship only the nonzero 32x32 tiles and rebuild on device
+            tiles, tij = _pack_coef_host(coef, eob4)
+            coef_dev = _scatter_coef(jnp.asarray(tiles),
+                                     jnp.asarray(tij), *coef.shape)
         if has_inter:
             w, hh = cur.size
             if plane_idx:
@@ -458,28 +524,41 @@ def recon_frame(s):
             refstack = jnp.stack(refplanes, axis=0)
             if plane_idx == 0:
                 refsel = np.clip(s.ref4, 0, 2).astype(np.int8)
-                comp = s.comp4
-                filt = np.ascontiguousarray(s.filter4)
+                comp, filt = s.comp4, s.filter4
             else:
                 sv = 2 if h.ss_v else 1
                 sh = 2 if h.ss_h else 1
                 refsel = np.clip(s.ref4[::sv, ::sh], 0, 2).astype(np.int8)
-                comp = np.ascontiguousarray(s.comp4[::sv, ::sh])
-                filt = np.ascontiguousarray(s.filter4[::sv, ::sh])
+                comp = s.comp4[::sv, ::sh]
+                filt = s.filter4[::sv, ::sh]
             with metrics.timer("recon.upload_misc"):
-                args = (jnp.asarray(txsz4), jnp.asarray(txtype4),
-                        refstack, jnp.asarray(mvg), jnp.asarray(refsel),
-                        jnp.asarray(comp), jnp.asarray(filt),
-                        jnp.asarray(inter4))
+                # coalesce the per-cell grids into two fresh packed
+                # arrays (one int8, one int16): per-transfer latency on
+                # the host link dominates bytes, and the copies also
+                # snapshot the decoder's rotating buffer pool safely
+                r4, c4 = txsz4.shape
+                g8 = np.empty((r4, c4, 7), np.int8)
+                g8[..., 0] = txsz4
+                g8[..., 1] = txtype4
+                g8[..., 2] = filt
+                g8[..., 3] = comp
+                g8[..., 4] = inter4
+                g8[..., 5:7] = refsel
+                g16 = np.empty((r4, c4, 5), np.int16)
+                g16[..., :4] = mvg.reshape(r4, c4, 4)
+                g16[..., 4] = eob4
+                g8d = jnp.asarray(g8)
+                g16d = jnp.asarray(g16)
             with metrics.timer("recon.inter_enqueue"):
                 plane_dev, residual = _recon_plane_inter(
-                    plane_dev, coef_dev, eob_dev, *args, w, hh,
+                    plane_dev, coef_dev, g8d, g16d, refstack, w, hh,
                     bool(h.lossless), bpp, mvsx, mvsy)
         else:
             with metrics.timer("recon.residual_enqueue"):
                 residual = residual_plane(
-                    coef_dev, eob_dev,
-                    jnp.asarray(txsz4), jnp.asarray(txtype4),
+                    coef_dev, jnp.asarray(eob4.astype(np.int16)),
+                    jnp.asarray(np.copy(txsz4)),
+                    jnp.asarray(np.copy(txtype4)),
                     bool(h.lossless), bpp).astype(jnp.int32)
 
         with metrics.timer("recon.intra_sched"):
@@ -534,12 +613,21 @@ def recon_frame(s):
 
 @partial(jax.jit, static_argnames=("w", "hh", "lossless", "bpp",
                                    "mvsx", "mvsy"))
-def _recon_plane_inter(plane, coef, eob4, txsz4, txtype4, refstack, mv16,
-                       refsel, comp, filt, inter4, w, hh, lossless, bpp,
-                       mvsx=2, mvsy=2):
+def _recon_plane_inter(plane, coef, g8, g16, refstack, w, hh, lossless,
+                       bpp, mvsx=2, mvsy=2):
     """Fused inter pass: residual transforms + per-cell MC + apply.
-    Narrow-dtype inputs (int16 coef/mv, int8 sel/filt) are widened here
-    on device to keep the host->device link thin."""
+    Per-cell metadata arrives coalesced in two packed grids (g8 int8:
+    txsz/txtype/filter/comp/inter/refsel; g16 int16: mv pair + eob) and
+    is widened here on device to keep the host->device link thin."""
+    txsz4 = g8[..., 0]
+    txtype4 = g8[..., 1]
+    filt = g8[..., 2]
+    comp = g8[..., 3].astype(bool)
+    inter4 = g8[..., 4].astype(bool)
+    refsel = g8[..., 5:7]
+    r4, c4 = txsz4.shape
+    mv16 = g16[..., :4].reshape(r4, c4, 2, 2)
+    eob4 = g16[..., 4]
     coef = coef.astype(jnp.int32)
     residual = jnp.zeros(coef.shape, coef.dtype)
     if lossless:

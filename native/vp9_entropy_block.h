@@ -25,6 +25,12 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
     int bpp = td->s->bpp;
     int is8 = bpp == 8;
     memset(cache, 0, n_coeffs);
+    /* own the block region: callers reuse the dense plane across
+     * frames without re-zeroing (blocks with eob==0 are masked out
+     * downstream by the eob grid) */
+    for (int r = 0; r < sz; r++)
+        memset(&plane[(py + r) * plane_w + px], 0,
+               (size_t)sz * sizeof(int32_t));
 
     for (;;) {
         int val = bd_prob(c, tp[0]);
