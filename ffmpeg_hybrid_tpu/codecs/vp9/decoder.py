@@ -192,6 +192,7 @@ class VP9Decoder:
             for name, arr in alloc().items():
                 setattr(self, name, arr)
         self.blocks: list = []
+        self.block_records = None
         # cross-block state grids
         self.cur_segmap = self.cur_frame_obj.seg_map
         self.cur_mv = self.cur_frame_obj.mv

@@ -188,30 +188,40 @@ def _build_intra_schedule(s, plane_idx):
     LW = np.zeros((r4 + 8, c4 + 8), np.int32)
     levels = []
 
-    for row, col, tcs, b in s.blocks:
-        if not b.intra:
-            continue
+    recs = getattr(s, "block_records", None)
+    if recs is not None:
+        # native pass A: filter intra blocks in numpy, skip Block objects
+        intra_iter = (
+            (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[7]),
+             int(r[8]),
+             (int(r[9]), int(r[10]), int(r[11]), int(r[12])), int(r[13]))
+            for r in recs[recs[:, 6] != 0])
+    else:
+        intra_iter = ((row, col, tcs, b.bs, b.tx, b.uvtx, b.mode,
+                       b.uvmode)
+                      for row, col, tcs, b in s.blocks if b.intra)
+    for row, col, tcs, bbs, btx, buvtx, bmode, buvmode in intra_iter:
         if plane_idx == 0:
-            w4 = int(T.BWH_TAB[1, b.bs, 0]) << 1
-            h4 = int(T.BWH_TAB[1, b.bs, 1]) << 1
+            w4 = int(T.BWH_TAB[1, bbs, 0]) << 1
+            h4 = int(T.BWH_TAB[1, bbs, 1]) << 1
             end_x = min(2 * (s.cols - col), w4)
             end_y = min(2 * (s.rows - row), h4)
-            tx = b.tx
+            tx = btx
         else:
-            w4 = (int(T.BWH_TAB[1, b.bs, 0]) << 1) >> ss_h
-            h4 = (int(T.BWH_TAB[1, b.bs, 1]) << 1) >> ss_v
-            end_x = min(2 * (s.cols - col), int(T.BWH_TAB[1, b.bs, 0]) << 1
+            w4 = (int(T.BWH_TAB[1, bbs, 0]) << 1) >> ss_h
+            h4 = (int(T.BWH_TAB[1, bbs, 1]) << 1) >> ss_v
+            end_x = min(2 * (s.cols - col), int(T.BWH_TAB[1, bbs, 0]) << 1
                         ) >> ss_h
-            end_y = min(2 * (s.rows - row), int(T.BWH_TAB[1, b.bs, 1]) << 1
+            end_y = min(2 * (s.rows - row), int(T.BWH_TAB[1, bbs, 1]) << 1
                         ) >> ss_v
-            tx = b.uvtx
+            tx = buvtx
         step = 1 << tx
         sz = 4 << tx
         for y in range(0, end_y, step):
             for x in range(0, end_x, step):
                 if plane_idx == 0:
-                    mode = b.mode[y * 2 + x if (b.bs > 9 and tx == 0)
-                                  else 0]
+                    mode = bmode[y * 2 + x if (bbs > 9 and tx == 0)
+                                 else 0]
                     py = row * 8 + y * 4
                     px = col * 8 + x * 4
                     have_top = row > 0 or y > 0
@@ -220,7 +230,7 @@ def _build_intra_schedule(s, plane_idx):
                     n_have_top = ((s.cols - col) * 2 - x) * 4
                     n_have_left = ((s.rows - row) * 2 - y) * 4
                 else:
-                    mode = b.uvmode
+                    mode = buvmode
                     py = ((row * 8) >> ss_v) + y * 4
                     px = ((col * 8) >> ss_h) + x * 4
                     have_top = row > 0 or y > 0

@@ -306,37 +306,59 @@ def decode_tiles_native(s, data: bytes) -> bool:
     if rc != 0:
         raise ValueError(f"native pass A failed: {rc}")
 
-    # rebuild the block list for the recon backends; with threaded tile
-    # columns the per-tile runs are concatenated, so restore decode order
-    # (sb-row major, then tile) with a stable sort
-    from .codecs.vp9.blockdec import Block
+    # keep the raw record array for the recon backends; with threaded
+    # tile columns the per-tile runs are concatenated, so restore decode
+    # order (sb-row major, then tile) with a stable sort.  Python Block
+    # objects are only materialized lazily (the golden path needs them;
+    # the TPU path reads the records directly).
     if h.tile_cols > 1 and ctx.n_blocks:
         view = blocks[:ctx.n_blocks]
         keys = (view[:, 0].astype(np.int64) // 8) * (1 << 16) \
             + view[:, 2].astype(np.int64)
         order = np.argsort(keys, kind="stable")
         blocks[:ctx.n_blocks] = view[order]
-    blks = []
-    for i in range(ctx.n_blocks):
-        r = blocks[i]
-        b = Block()
-        b.bs = int(r[3])
-        b.seg_id = int(r[4])
-        b.skip = int(r[5])
-        b.intra = int(r[6])
-        b.tx = int(r[7])
-        b.uvtx = int(r[8])
-        b.mode = [int(r[9]), int(r[10]), int(r[11]), int(r[12])]
-        b.uvmode = int(r[13])
-        b.comp = int(r[14])
-        b.ref = [int(r[15]), int(r[16])]
-        b.filter = int(r[17])
-        b.mv = [[(int(r[18 + q * 4]), int(r[19 + q * 4])),
-                 (int(r[20 + q * 4]), int(r[21 + q * 4]))]
-                for q in range(4)]
-        blks.append((int(r[0]), int(r[1]), int(r[2]), b))
-    s.blocks = blks
+    s.block_records = blocks[:ctx.n_blocks]
+    s.blocks = LazyBlocks(s.block_records)
     return True
+
+
+class LazyBlocks:
+    """List-like view over the native block records; converts to Python
+    Block tuples only if actually iterated (golden recon path)."""
+
+    def __init__(self, records):
+        self._records = records
+        self._list = None
+
+    def _materialize(self):
+        if self._list is None:
+            from .codecs.vp9.blockdec import Block
+            blks = []
+            for r in self._records:
+                b = Block()
+                b.bs = int(r[3])
+                b.seg_id = int(r[4])
+                b.skip = int(r[5])
+                b.intra = int(r[6])
+                b.tx = int(r[7])
+                b.uvtx = int(r[8])
+                b.mode = [int(r[9]), int(r[10]), int(r[11]), int(r[12])]
+                b.uvmode = int(r[13])
+                b.comp = int(r[14])
+                b.ref = [int(r[15]), int(r[16])]
+                b.filter = int(r[17])
+                b.mv = [[(int(r[18 + q * 4]), int(r[19 + q * 4])),
+                         (int(r[20 + q * 4]), int(r[21 + q * 4]))]
+                        for q in range(4)]
+                blks.append((int(r[0]), int(r[1]), int(r[2]), b))
+            self._list = blks
+        return self._list
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self):
+        return len(self._records)
 
 
 def loopfilter_frame_native(s) -> bool:
