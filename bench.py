@@ -55,11 +55,12 @@ def main():
                     bitexact = False
             n += 1
 
-    # Pass 2 (timed): steady-state pipelined decode. Frames remain
-    # device-resident (the production mode: decoded frames feed further
-    # TPU compute). The host runs ahead of the device; completion is
-    # drained every 8 frames (bounds in-flight HBM) and fully at the
-    # end, so the measured time covers all device work.
+    # Pass 2 (timed): steady-state decode. Frames remain device-resident
+    # (the production mode: decoded frames feed further TPU compute) but
+    # each frame is drained before the next starts: the host link
+    # serializes transfers behind queued compute, so letting the queue
+    # grow makes every upload wait out the backlog (measured: drain-per
+    # -frame is ~2.4x faster than drain-every-8 on the axon tunnel).
     dec2 = VP9Decoder(recon_backend="tpu")
     timed_frames = 0
     last = None
@@ -68,8 +69,9 @@ def main():
         for f in dec2.decode(fd):
             last = f
             timed_frames += 1
-        if (i & 7) == 7 and last is not None and last.dev is not None:
-            jax.block_until_ready(last.dev[0])
+        if last is not None and last.dev is not None:
+            for p in last.dev:
+                jax.block_until_ready(p)
         if i == 7:  # restart after pipeline warm-up
             t_start = time.time()
             timed_frames = 0

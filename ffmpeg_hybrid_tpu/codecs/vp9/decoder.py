@@ -25,12 +25,28 @@ from .rac import BoolDecoder
 from .counts import Counts
 
 
+# Frame host buffers are recycled through a geometry-keyed pool (the
+# reference's refstruct frame pool, vp9.c:120-130): fresh 8MB mmap'd
+# allocations cost ~200ms/frame on this host.  Buffers return to the
+# pool when the owning Frame is garbage-collected (weakref.finalize), so
+# frames held by the caller stay valid indefinitely.
+_FRAME_POOL: dict = {}
+_FRAME_POOL_MAX = 16
+
+
+def _pool_return(key, bufs):
+    lst = _FRAME_POOL.setdefault(key, [])
+    if len(lst) < _FRAME_POOL_MAX:
+        lst.append(bufs)
+
+
 class Frame:
     """One decoded frame slot: planes + cross-frame prediction state
     (mirrors VP9Frame: ProgressFrame + segmentation_map + mv grid,
     reference: vp9shared.h:66-77)."""
 
     def __init__(self, w, h, ss_h, ss_v, bpp):
+        import weakref
         self.size = (w, h)
         self.ss_h, self.ss_v = ss_h, ss_v
         self.bpp = bpp
@@ -38,13 +54,32 @@ class Frame:
         sb_rows = (h + 63) >> 6
         self.sb_cols, self.sb_rows = sb_cols, sb_rows
         H, W = sb_rows * 64, sb_cols * 64
-        dt = np.int32
-        self.planes = [np.zeros((H, W), dt),
-                       np.zeros((H >> ss_v, W >> ss_h), dt),
-                       np.zeros((H >> ss_v, W >> ss_h), dt)]
-        self.seg_map = np.zeros((sb_rows * 8, sb_cols * 8), np.uint8)
-        self.mv = np.zeros((sb_rows * 8, sb_cols * 8, 2, 2), np.int16)
-        self.refs = np.full((sb_rows * 8, sb_cols * 8, 2), -1, np.int8)
+        key = (H, W, ss_h, ss_v)
+        lst = _FRAME_POOL.get(key)
+        if lst:
+            bufs = lst.pop()
+        else:
+            dt = np.int32
+            # np.empty: every pixel read downstream is first written by
+            # recon (MC/intra clamp reads to the coded area)
+            bufs = {
+                "planes": [np.empty((H, W), dt),
+                           np.empty((H >> ss_v, W >> ss_h), dt),
+                           np.empty((H >> ss_v, W >> ss_h), dt)],
+                "seg_map": np.empty((sb_rows * 8, sb_cols * 8), np.uint8),
+                "mv": np.empty((sb_rows * 8, sb_cols * 8, 2, 2), np.int16),
+                "refs": np.empty((sb_rows * 8, sb_cols * 8, 2), np.int8),
+            }
+        self.planes = bufs["planes"]
+        self.seg_map = bufs["seg_map"]
+        self.mv = bufs["mv"]
+        self.refs = bufs["refs"]
+        # cross-frame state grids must start deterministic (cells beyond
+        # the coded area are never splatted but are read clamped)
+        self.seg_map.fill(0)
+        self.mv.fill(0)
+        self.refs.fill(-1)
+        weakref.finalize(self, _pool_return, key, bufs)
         # device-resident planes (set by the TPU backend; host `planes`
         # are synced lazily on first pixel access)
         self.dev = None

@@ -437,37 +437,238 @@ def run_intra_plane(s, plane_dev, residual_dev, levels):
 
 
 # ---------------------------------------------------------------------------
+# device-side metadata splat
+#
+# The host->device link has flaky bandwidth (2-900 ms for 1-2 MB), so the
+# per-4x4-cell metadata grids are NOT uploaded. Instead the compact
+# per-block records from pass A (~72 B/block, one block per leaf) ship,
+# and the dense grids are rebuilt on device: a scatter assigns each cell
+# its covering record index (leaves never overlap), then every grid is a
+# gather of record fields. This mirrors the host splat in
+# decoder.record_block / native vp9_entropy_main.h:90-165 exactly,
+# including the sub-8x8 chroma MV averaging rules and the libvpx 4:2:2
+# bug (vp9_mc_template.c:107-114).
+
+
+def _rdiv2_jnp(s):
+    """ROUNDED_DIV(a+b, 2) with C round-half-away-from-zero."""
+    return jnp.where(s >= 0, (s + 1) // 2, -((-s + 1) // 2))
+
+
+def _rdiv4_jnp(s):
+    return jnp.where(s >= 0, (s + 2) // 4, -((-s + 2) // 4))
+
+
+@partial(jax.jit, static_argnames=("r4", "c4", "ss_h", "ss_v"))
+def _grids_from_records(recs, r4, c4, ss_h, ss_v):
+    """recs: [N, 36] int16 block records (pad rows have bs == -1; the
+    LAST row must always be a pad row). Returns the dense per-cell grids
+    for the Y plane ([r4, c4]) and the chroma planes ([r4u, c4u])."""
+    recs = recs.astype(jnp.int32)
+    N = recs.shape[0]
+    row, col, bs = recs[:, 0], recs[:, 1], recs[:, 3]
+    valid = bs >= 0
+    bwh = jnp.asarray(np.asarray(T.BWH_TAB[1], np.int32))  # [13,2] 8px units
+    bsc = jnp.clip(bs, 0, 12)
+    w4 = jnp.where(valid, bwh[bsc, 0] * 2, 0)   # cells (4px units)
+    h4 = jnp.where(valid, bwh[bsc, 1] * 2, 0)
+    r0, c0 = row * 2, col * 2
+
+    dy = jnp.arange(16)
+    inb = ((dy[None, :, None] < h4[:, None, None])
+           & (dy[None, None, :] < w4[:, None, None]))
+    big = jnp.int32(1 << 20)
+    rr = jnp.where(inb, r0[:, None, None] + dy[None, :, None], big)
+    cc = jnp.where(inb, c0[:, None, None] + dy[None, None, :], big)
+    n = jnp.arange(N, dtype=jnp.int32)
+    bidx = jnp.full((r4, c4), -1, jnp.int32)
+    bidx = bidx.at[rr, cc].max(
+        jnp.broadcast_to(n[:, None, None], (N, 16, 16)), mode="drop")
+    # uncovered cells wrap to recs[-1] (a pad row, bs == -1)
+
+    def g(f, b=bidx):
+        return recs[b, f]
+
+    covered = g(3) >= 0
+    intra = (g(6) != 0) & covered
+    inter4 = (g(6) == 0) & covered
+    txsz4 = g(7)
+    # per-cell quadrant (sub-8x8 leaves are exactly 2x2 cells)
+    celldy = (jnp.arange(r4)[:, None] - g(0) * 2) & 1
+    celldx = (jnp.arange(c4)[None, :] - g(1) * 2) & 1
+    q = celldy * 2 + celldx
+    sub8 = g(3) > 9
+    q_eff = jnp.where(sub8 & (txsz4 == 0), q, 0)
+    mode_cell = recs[bidx, 9 + q_eff]
+    itt = jnp.asarray(np.asarray(T.INTRA_TXFM_TYPE, np.int32))
+    txtype4 = jnp.where(intra, itt[jnp.clip(mode_cell, 0, 13)], 0)
+    comp4 = (g(14) != 0) & inter4
+    filter4 = g(17)
+    refsel = jnp.stack([jnp.clip(g(15), 0, 2),
+                        jnp.clip(jnp.where(comp4, g(16), 0), 0, 2)], -1)
+    # luma MV per cell: quadrant for sub-8x8, else mv[0]
+    qmv = jnp.where(sub8, q, 0)
+    mv16 = jnp.stack([
+        jnp.stack([recs[bidx, 18 + qmv * 4], recs[bidx, 19 + qmv * 4]], -1),
+        jnp.stack([recs[bidx, 20 + qmv * 4], recs[bidx, 21 + qmv * 4]], -1),
+    ], -2)  # [r4, c4, 2(ref), 2(xy)]
+
+    # ---- chroma ----
+    sv, sh = 1 << ss_v, 1 << ss_h
+    bidx_uv = bidx[::sv, ::sh]
+    uvtx4 = recs[bidx_uv, 8]
+    inter4uv = (recs[bidx_uv, 6] == 0) & (recs[bidx_uv, 3] >= 0)
+    comp_uv = (recs[bidx_uv, 14] != 0) & inter4uv
+    filt_uv = recs[bidx_uv, 17]
+    refsel_uv = jnp.stack([
+        jnp.clip(recs[bidx_uv, 15], 0, 2),
+        jnp.clip(jnp.where(comp_uv, recs[bidx_uv, 16], 0), 0, 2)], -1)
+
+    # per-record 2x2 uv-cell MV table V[N, dy, dx, ref, xy], replicating
+    # decoder._splat_sub8x8_mv (reference: vp9_mc_template.c:24-230)
+    m = [[jnp.stack([recs[:, 18 + qq * 4 + ri * 2],
+                     recs[:, 19 + qq * 4 + ri * 2]], -1)
+          for ri in range(2)] for qq in range(4)]  # m[q][ri] -> [N, 2]
+
+    def per_ref(ri):
+        m0, m1, m2, m3 = m[0][ri], m[1][ri], m[2][ri], m[3][ri]
+        a02 = _rdiv2_jnp(m0 + m2)
+        a01 = _rdiv2_jnp(m0 + m1)
+        a13 = _rdiv2_jnp(m1 + m3)
+        a12 = _rdiv2_jnp(m1 + m2)
+        a0123 = _rdiv4_jnp(m0 + m1 + m2 + m3)
+        bsr = bs[:, None]
+        # defaults (bs <= 9): every uv cell uses mv[0]
+        V = [[m0, m0], [m0, m0]]
+        if ss_v:
+            top_l = jnp.where(bsr == 10, a02,
+                              jnp.where(bsr == 11, a01 if ss_h else m0,
+                                        jnp.where(bsr == 12,
+                                                  a0123 if ss_h else a02,
+                                                  m0)))
+            top_r = jnp.where(bsr == 10, a02,
+                              jnp.where(bsr == 11, m1,
+                                        jnp.where(bsr == 12, a13, m0)))
+            V = [[top_l, top_r], [top_l, top_r]]
+        else:
+            if ss_h:
+                # 4:2:2: BS_4x4 bottom uses avg(mv1, mv2) (libvpx bug)
+                tl = jnp.where(bsr == 10, m0,
+                               jnp.where(bsr == 11, a01,
+                                         jnp.where(bsr == 12, a01, m0)))
+                bl = jnp.where(bsr == 10, a02,
+                               jnp.where(bsr == 11, a01,
+                                         jnp.where(bsr == 12, a12, m0)))
+                V = [[tl, tl], [bl, bl]]
+            else:
+                tl = m0
+                tr = jnp.where(bsr == 11, m1,
+                               jnp.where(bsr == 12, m1, m0))
+                bl = jnp.where(bsr == 10, m2,
+                               jnp.where(bsr == 12, m2, m0))
+                br = jnp.where(bsr == 10, m2,
+                               jnp.where(bsr == 11, m1,
+                                         jnp.where(bsr == 12, m3, m0)))
+                V = [[tl, tr], [bl, br]]
+        return jnp.stack([jnp.stack(Vr, 0) for Vr in V], 0)  # [2,2,N,2]
+
+    Vt = jnp.stack([per_ref(0), per_ref(1)], -2)  # [2, 2, N, 2(ref), 2(xy)]
+    r4u, c4u = r4 >> ss_v, c4 >> ss_h
+    ur0 = (recs[bidx_uv, 0] * 2) >> ss_v
+    uc0 = (recs[bidx_uv, 1] * 2) >> ss_h
+    udy = jnp.clip(jnp.arange(r4u)[:, None] - ur0, 0, 1)
+    udx = jnp.clip(jnp.arange(c4u)[None, :] - uc0, 0, 1)
+    uvmv = Vt[udy, udx, bidx_uv]  # [r4u, c4u, 2, 2]
+
+    return (inter4, txsz4, txtype4, comp4, filter4, refsel, mv16,
+            inter4uv, uvtx4, jnp.zeros_like(uvtx4), comp_uv, filt_uv,
+            refsel_uv, uvmv)
+
+
+def _records_from_blocks(s):
+    """Synthesize the native record array from Python Block objects
+    (pure-Python pass A path)."""
+    n = len(s.blocks)
+    recs = np.zeros((n, 36), np.int16)
+    for i, (row, col, tcs, b) in enumerate(s.blocks):
+        r = recs[i]
+        r[0], r[1], r[2] = row, col, tcs
+        r[3], r[4], r[5] = b.bs, b.seg_id, b.skip
+        r[6], r[7], r[8] = b.intra, b.tx, b.uvtx
+        r[9:13] = b.mode
+        r[13], r[14] = b.uvmode, b.comp
+        r[15], r[16], r[17] = b.ref[0], b.ref[1], b.filter
+        for qq in range(4):
+            r[18 + qq * 4] = b.mv[qq][0][0]
+            r[19 + qq * 4] = b.mv[qq][0][1]
+            r[20 + qq * 4] = b.mv[qq][1][0]
+            r[21 + qq * 4] = b.mv[qq][1][1]
+    return recs
+
+
+def _pack_records(s):
+    """Bucket-padded record array (pad rows have bs=-1; at least one)."""
+    recs = s.block_records
+    if recs is None:
+        recs = _records_from_blocks(s)
+    n = len(recs)
+    nb = _pad_to_bucket(n + 1, base=256, mult=2)
+    out = np.zeros((nb, 36), np.int16)
+    out[:n] = recs[:, :36]
+    out[n:, 3] = -1
+    return out
+
+
+# ---------------------------------------------------------------------------
 # frame orchestration
 
+# combined per-plane tile row: 1024 coef + 64 eob + (ti, tj) + 2 pad
+TILE_ROW = 1092
 
-@partial(jax.jit, static_argnames=("H", "W"))
-def _scatter_coef(tiles, tij, H, W):
-    """Rebuild the dense [H, W] int16 coefficient plane from packed
-    nonzero 32x32 tiles (sentinel indices drop)."""
+
+def _scatter_coef_eob(pk, H, W):
+    """Rebuild the dense int16 coefficient plane and the [r4, c4] eob
+    grid from packed tile rows (pad rows have ti == -1 -> dropped)."""
+    kb = pk.shape[0]
+    tiles = pk[:, :1024].reshape(kb, 32, 32)
+    eobsub = pk[:, 1024:1088].reshape(kb, 8, 8)
+    ti = pk[:, 1088].astype(jnp.int32)
+    tj = pk[:, 1089].astype(jnp.int32)
+    big = jnp.int32(1 << 20)
+    ti = jnp.where(ti < 0, big, ti)
     c = jnp.zeros((H // 32, W // 32, 32, 32), jnp.int16)
-    c = c.at[tij[:, 0], tij[:, 1]].set(tiles, mode="drop")
-    return c.transpose(0, 2, 1, 3).reshape(H, W)
+    c = c.at[ti, tj].set(tiles, mode="drop")
+    coef = c.transpose(0, 2, 1, 3).reshape(H, W)
+    e = jnp.zeros((H // 32, W // 32, 8, 8), jnp.int16)
+    e = e.at[ti, tj].set(eobsub, mode="drop")
+    eob4 = e.transpose(0, 2, 1, 3).reshape(H // 4, W // 4)
+    return coef, eob4
 
 
 def _pack_coef_host(coef, eob4):
-    """Pack the coefficient plane's nonzero 32x32 tiles (identified via
-    the eob grid, so stale pooled-buffer content is never shipped).
-    Typical inter frames are skip-heavy: this cuts the per-frame h2d
-    volume from ~6MB dense to tens of KB."""
+    """Pack the coefficient plane's nonzero 32x32 tiles + their 8x8 eob
+    subgrids into combined TILE_ROW rows (identified via the eob grid,
+    so stale pooled-buffer content is never shipped). Typical inter
+    frames are skip-heavy: this cuts the per-frame h2d volume from ~6MB
+    dense to tens of KB; the dense planes are rebuilt on device."""
     H, W = coef.shape
     th, tw = H // 32, W // 32
     mask = eob4.reshape(th, 8, tw, 8).any(axis=(1, 3))
     ti, tj = np.nonzero(mask)
     k = len(ti)
     kb = _pad_to_bucket(max(k, 1), base=16, mult=2)
-    tiles = np.zeros((kb, 32, 32), np.int16)
+    pk = np.zeros((kb, TILE_ROW), np.int16)
+    pk[:, 1088] = -1  # pad sentinel
     if k:
-        view = coef.reshape(th, 32, tw, 32)
-        tiles[:k] = view[ti, :, tj, :]
-    tij = np.full((kb, 2), 1 << 20, np.int32)
-    tij[:k, 0] = ti
-    tij[:k, 1] = tj
-    return tiles, tij
+        from ..passa_native import pack_plane_tiles_native
+        if not pack_plane_tiles_native(coef, eob4, ti, tj, pk):
+            view = coef.reshape(th, 32, tw, 32)
+            pk[:k, :1024] = view[ti, :, tj, :].reshape(k, 1024)
+            ev = eob4.reshape(th, 8, tw, 8)
+            pk[:k, 1024:1088] = ev[ti, :, tj, :].reshape(k, 64)
+            pk[:k, 1088] = ti
+            pk[:k, 1089] = tj
+    return pk
 
 
 def recon_frame(s):
@@ -484,38 +685,44 @@ def recon_frame(s):
         return
 
     cur = s.cur_frame_obj
-    dt = jnp.int32 if bpp == 8 else jnp.int64
-    out_dt = jnp.uint8 if bpp == 8 else jnp.uint16
+
+    # one thin upload for all block metadata; dense grids are rebuilt on
+    # device (_grids_from_records)
+    with metrics.timer("recon.upload_recs"):
+        recs_dev = jnp.asarray(_pack_records(s))
+    r4, c4 = s.txsz4.shape
+    with metrics.timer("recon.splat"):
+        (inter4_d, txsz4_d, txtype4_d, comp4_d, filt4_d, refsel_d, mv16_d,
+         inter4uv_d, uvtx4_d, txtypeuv_d, compuv_d, filtuv_d, refseluv_d,
+         uvmv_d) = _grids_from_records(recs_dev, r4, c4, h.ss_h, h.ss_v)
+
+    has_inter_frame = not (h.keyframe or h.intraonly)
+    if has_inter_frame:
+        has_inter_frame = bool((s.block_records[:, 6] == 0).any()) \
+            if s.block_records is not None else bool(s.inter4.any())
 
     outs = []
     for plane_idx in range(3):
         if plane_idx == 0:
             coef, eob4 = s.coef_y, s.eob_y
-            txsz4, txtype4 = s.txsz4, s.txtype4
-            inter4 = s.inter4
-            mvg = s.mv4              # raw int16; scaled x2 on device
+            grids = (inter4_d, txsz4_d, txtype4_d, comp4_d, filt4_d,
+                     refsel_d, mv16_d)
             mvsx = mvsy = 2
         else:
             coef = s.coef_u if plane_idx == 1 else s.coef_v
             eob4 = s.eob_u if plane_idx == 1 else s.eob_v
-            txsz4 = s.uvtx4
-            txtype4 = np.zeros_like(s.uvtx4)
-            inter4 = s.inter4uv
-            mvg = s.uvmv4            # raw int16; per-axis scale on device
+            grids = (inter4uv_d, uvtx4_d, txtypeuv_d, compuv_d, filtuv_d,
+                     refseluv_d, uvmv_d)
             mvsx = 1 << (1 - h.ss_h)
             mvsy = 1 << (1 - h.ss_v)
 
-        has_inter = bool(inter4.any())
-        # a fresh frame's plane is all-zero: materialize it on device
-        # instead of uploading ~8MB of zeros through the host link
-        plane_dev = jnp.zeros(cur.planes[plane_idx].shape, jnp.int32)
         with metrics.timer("recon.upload_coef"):
             # 8bpp dctcoefs fit int16 (spec inter-pass wraparound);
-            # ship only the nonzero 32x32 tiles and rebuild on device
-            tiles, tij = _pack_coef_host(coef, eob4)
-            coef_dev = _scatter_coef(jnp.asarray(tiles),
-                                     jnp.asarray(tij), *coef.shape)
-        if has_inter:
+            # ship only the nonzero 32x32 tiles + eob subgrids and
+            # rebuild the dense planes on device
+            pk_dev = jnp.asarray(_pack_coef_host(coef, eob4))
+
+        if has_inter_frame:
             w, hh = cur.size
             if plane_idx:
                 w = (w + h.ss_h) >> h.ss_h
@@ -525,51 +732,28 @@ def recon_frame(s):
             for i in range(3):
                 rf = s.refs[h.refidx[i]]
                 if rf is None:
-                    refplanes.append(jnp.zeros_like(plane_dev))
+                    refplanes.append(None)
                 elif rf.dev is not None:
                     refplanes.append(rf.dev[plane_idx])
                 else:
                     refplanes.append(jnp.asarray(rf.planes[plane_idx],
                                                  jnp.int32))
-            refstack = jnp.stack(refplanes, axis=0)
-            if plane_idx == 0:
-                refsel = np.clip(s.ref4, 0, 2).astype(np.int8)
-                comp, filt = s.comp4, s.filter4
-            else:
-                sv = 2 if h.ss_v else 1
-                sh = 2 if h.ss_h else 1
-                refsel = np.clip(s.ref4[::sv, ::sh], 0, 2).astype(np.int8)
-                comp = s.comp4[::sv, ::sh]
-                filt = s.filter4[::sv, ::sh]
-            with metrics.timer("recon.upload_misc"):
-                # coalesce the per-cell grids into two fresh packed
-                # arrays (one int8, one int16): per-transfer latency on
-                # the host link dominates bytes, and the copies also
-                # snapshot the decoder's rotating buffer pool safely
-                r4, c4 = txsz4.shape
-                g8 = np.empty((r4, c4, 7), np.int8)
-                g8[..., 0] = txsz4
-                g8[..., 1] = txtype4
-                g8[..., 2] = filt
-                g8[..., 3] = comp
-                g8[..., 4] = inter4
-                g8[..., 5:7] = refsel
-                g16 = np.empty((r4, c4, 5), np.int16)
-                g16[..., :4] = mvg.reshape(r4, c4, 4)
-                g16[..., 4] = eob4
-                g8d = jnp.asarray(g8)
-                g16d = jnp.asarray(g16)
+            z = next(p for p in refplanes if p is not None)
+            refplanes = [p if p is not None else z for p in refplanes]
+            inter4_p, txsz4_p, txtype4_p, comp4_p, filt4_p, refsel_p, \
+                mv16_p = grids
             with metrics.timer("recon.inter_enqueue"):
                 plane_dev, residual = _recon_plane_inter(
-                    plane_dev, coef_dev, g8d, g16d, refstack, w, hh,
+                    pk_dev, inter4_p, txsz4_p, txtype4_p, comp4_p,
+                    filt4_p, refsel_p, mv16_p,
+                    refplanes[0], refplanes[1], refplanes[2],
+                    coef.shape[0], coef.shape[1], w, hh,
                     bool(h.lossless), bpp, mvsx, mvsy)
         else:
             with metrics.timer("recon.residual_enqueue"):
-                residual = residual_plane(
-                    coef_dev, jnp.asarray(eob4.astype(np.int16)),
-                    jnp.asarray(np.copy(txsz4)),
-                    jnp.asarray(np.copy(txtype4)),
-                    bool(h.lossless), bpp).astype(jnp.int32)
+                plane_dev, residual = _recon_plane_intra_only(
+                    pk_dev, grids[1], grids[2], coef.shape[0],
+                    coef.shape[1], bool(h.lossless), bpp)
 
         with metrics.timer("recon.intra_sched"):
             levels = _build_intra_schedule(s, plane_idx) if plane_idx < 2 \
@@ -621,23 +805,17 @@ def recon_frame(s):
             golden.loopfilter_frame(s)
 
 
-@partial(jax.jit, static_argnames=("w", "hh", "lossless", "bpp",
-                                   "mvsx", "mvsy"))
-def _recon_plane_inter(plane, coef, g8, g16, refstack, w, hh, lossless,
+@partial(jax.jit, static_argnames=("H", "W", "w", "hh", "lossless",
+                                   "bpp", "mvsx", "mvsy"))
+def _recon_plane_inter(pk, inter4, txsz4, txtype4, comp, filt, refsel,
+                       mv16, ref0, ref1, ref2, H, W, w, hh, lossless,
                        bpp, mvsx=2, mvsy=2):
-    """Fused inter pass: residual transforms + per-cell MC + apply.
-    Per-cell metadata arrives coalesced in two packed grids (g8 int8:
-    txsz/txtype/filter/comp/inter/refsel; g16 int16: mv pair + eob) and
-    is widened here on device to keep the host->device link thin."""
-    txsz4 = g8[..., 0]
-    txtype4 = g8[..., 1]
-    filt = g8[..., 2]
-    comp = g8[..., 3].astype(bool)
-    inter4 = g8[..., 4].astype(bool)
-    refsel = g8[..., 5:7]
-    r4, c4 = txsz4.shape
-    mv16 = g16[..., :4].reshape(r4, c4, 2, 2)
-    eob4 = g16[..., 4]
+    """Fused inter pass: tile-row unpack + residual transforms +
+    per-cell MC + apply. All per-cell metadata arrives as device grids
+    (rebuilt from block records by _grids_from_records)."""
+    coef, eob4 = _scatter_coef_eob(pk, H, W)
+    comp = comp.astype(bool)
+    inter4 = inter4.astype(bool)
     coef = coef.astype(jnp.int32)
     residual = jnp.zeros(coef.shape, coef.dtype)
     if lossless:
@@ -648,11 +826,22 @@ def _recon_plane_inter(plane, coef, g8, g16, refstack, w, hh, lossless,
             residual = residual + _residual_for_size(
                 coef, eob4, txsz4, txtype4, tx, False, bpp, *coef.shape)
     residual = residual.astype(jnp.int32)
+    refstack = jnp.stack([ref0, ref1, ref2], axis=0)
     mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w, hh, bpp,
                    mvsx, mvsy)
     maxp = (1 << bpp) - 1
     mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0, maxp)
     mask = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)
+    plane = jnp.zeros((H, W), jnp.int32)
     plane = plane.at[:mc.shape[0], :mc.shape[1]].set(
         jnp.where(mask, mcfull, plane[:mc.shape[0], :mc.shape[1]]))
     return plane, residual
+
+
+@partial(jax.jit, static_argnames=("H", "W", "lossless", "bpp"))
+def _recon_plane_intra_only(pk, txsz4, txtype4, H, W, lossless, bpp):
+    """Keyframe/intra-only plane: unpack tiles, residual only."""
+    coef, eob4 = _scatter_coef_eob(pk, H, W)
+    residual = residual_plane(coef, eob4, txsz4, txtype4, lossless,
+                              bpp).astype(jnp.int32)
+    return jnp.zeros((H, W), jnp.int32), residual

@@ -361,6 +361,35 @@ class LazyBlocks:
         return len(self._records)
 
 
+def gather_tiles_native(coef, ti, tj, tiles_out) -> bool:
+    """Gather nonzero 32x32 tiles (int32 plane -> int16 tiles) in C."""
+    if not available():
+        return False
+    k = len(ti)
+    if k:
+        lib().vp9_gather_tiles(
+            _p(coef, i32p), C.c_int(coef.shape[1]),
+            _p(np.ascontiguousarray(ti, np.int32), i32p),
+            _p(np.ascontiguousarray(tj, np.int32), i32p),
+            C.c_int(k), _p(tiles_out, i16p))
+    return True
+
+
+def pack_plane_tiles_native(coef, eob4, ti, tj, pk_out) -> bool:
+    """Pack combined [k, 1092] tile rows (coef + eob + ti/tj) in C."""
+    if not available():
+        return False
+    k = len(ti)
+    if k:
+        lib().vp9_pack_plane_tiles(
+            _p(coef, i32p), C.c_int(coef.shape[1]),
+            _p(eob4, i32p), C.c_int(eob4.shape[1]),
+            _p(np.ascontiguousarray(ti, np.int32), i32p),
+            _p(np.ascontiguousarray(tj, np.int32), i32p),
+            C.c_int(k), _p(pk_out, i16p))
+    return True
+
+
 def loopfilter_frame_native(s) -> bool:
     """Run the native loop filter over the current frame's int32 planes."""
     if not available():

@@ -515,3 +515,49 @@ static void fill_mv(Td *td, int32_t mv[2][2], int mode, int sb)
 #include "vp9_entropy_block.h"
 #include "vp9_entropy_mode.h"
 #include "vp9_entropy_main.h"
+
+/* Pass-B support: gather nonzero 32x32 coefficient tiles (int32 plane ->
+ * packed int16 tiles) for the thin host->device upload.  numpy's
+ * advanced-indexing equivalent costs ~100ms on a keyframe; this is a
+ * straight memcpy loop. */
+void vp9_gather_tiles(const int32_t *coef, int W, const int32_t *ti,
+                      const int32_t *tj, int k, int16_t *out)
+{
+    for (int n = 0; n < k; n++) {
+        const int32_t *src = coef + (int64_t)ti[n] * 32 * W + (int64_t)tj[n] * 32;
+        int16_t *dst = out + (int64_t)n * 1024;
+        for (int r = 0; r < 32; r++) {
+            const int32_t *s = src + (int64_t)r * W;
+            int16_t *d = dst + r * 32;
+            for (int c = 0; c < 32; c++)
+                d[c] = (int16_t)s[c];
+        }
+    }
+}
+
+/* Pack one plane's nonzero 32x32 tiles into combined upload rows:
+ * [1024 coef int16 | 64 eob int16 | ti | tj | pad pad].  eob4 has row
+ * stride c4 (the plane's 4x4-cell grid). */
+void vp9_pack_plane_tiles(const int32_t *coef, int W,
+                          const int32_t *eob4, int c4,
+                          const int32_t *ti, const int32_t *tj, int k,
+                          int16_t *out)
+{
+    for (int n = 0; n < k; n++) {
+        const int32_t *src = coef + (int64_t)ti[n] * 32 * W + (int64_t)tj[n] * 32;
+        int16_t *d = out + (int64_t)n * 1092;
+        for (int r = 0; r < 32; r++) {
+            const int32_t *s = src + (int64_t)r * W;
+            for (int c = 0; c < 32; c++)
+                d[r * 32 + c] = (int16_t)s[c];
+        }
+        const int32_t *esrc = eob4 + (int64_t)ti[n] * 8 * c4 + (int64_t)tj[n] * 8;
+        for (int r = 0; r < 8; r++)
+            for (int c = 0; c < 8; c++)
+                d[1024 + r * 8 + c] = (int16_t)esrc[(int64_t)r * c4 + c];
+        d[1088] = (int16_t)ti[n];
+        d[1089] = (int16_t)tj[n];
+        d[1090] = 0;
+        d[1091] = 0;
+    }
+}

@@ -336,6 +336,7 @@ static void reset_left(Td *td)
 /* tile decode: single-threaded path + pthread-per-tile-column path     */
 
 #include <pthread.h>
+#include <stdlib.h>
 
 #define N_COUNT_FIELDS 24
 static const int count_sizes[N_COUNT_FIELDS] = {
