@@ -41,19 +41,19 @@ def main():
 
     import jax
 
-    # Pass 1 (warmup + conformance gate): decode the whole clip once,
-    # verifying every frame's md5 against the reference decoder.
-    WARMUP_VERIFY = int(os.environ.get("BENCH_VERIFY_FRAMES", "30"))
+    def drain(d):
+        if d.cur_frame_obj is not None and d.cur_frame_obj.dev is not None:
+            for p in d.cur_frame_obj.dev:
+                jax.block_until_ready(p)
+
+    # Pass 1 (warmup): decode the clip once so every executable is
+    # compiled and loaded. No host readbacks yet: d2h through the host
+    # link runs at ~1-40 MB/s AND degrades the link for the rest of the
+    # process, so all d2h is deferred until after the timed pass.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
-    n = 0
-    bitexact = True
-    for fd in packets[:WARMUP_VERIFY]:
-        for f in dec.decode(fd):
-            raw = f.to_bytes()
-            if ref is not None and n < len(ref):
-                if hashlib.md5(raw).hexdigest() != ref[n][1]:
-                    bitexact = False
-            n += 1
+    for fd in packets:
+        dec.decode(fd)
+    drain(dec)
 
     # Pass 2 (timed): steady-state decode. Frames remain device-resident
     # (the production mode: decoded frames feed further TPU compute) but
@@ -63,23 +63,31 @@ def main():
     # -frame is ~2.4x faster than drain-every-8 on the axon tunnel).
     dec2 = VP9Decoder(recon_backend="tpu")
     timed_frames = 0
-    last = None
     t_start = time.time()
     for i, fd in enumerate(packets):
-        for f in dec2.decode(fd):
-            last = f
-            timed_frames += 1
-        if last is not None and last.dev is not None:
-            for p in last.dev:
-                jax.block_until_ready(p)
+        timed_frames += len(dec2.decode(fd))
+        drain(dec2)
         if i == 7:  # restart after pipeline warm-up
             t_start = time.time()
             timed_frames = 0
         if time.time() - t_start > budget_s:
             break
-    if last is not None and last.dev is not None:
-        jax.block_until_ready(last.dev[0])
     dt = time.time() - t_start
+
+    # Pass 3 (conformance gate, untimed): decode again, verifying every
+    # frame's md5 against the reference decoder.
+    WARMUP_VERIFY = int(os.environ.get("BENCH_VERIFY_FRAMES", "30"))
+    dec3 = VP9Decoder(recon_backend="tpu")
+    n = 0
+    bitexact = True
+    for fd in packets[:WARMUP_VERIFY]:
+        for f in dec3.decode(fd):
+            raw = f.to_bytes()
+            if ref is not None and n < len(ref):
+                if hashlib.md5(raw).hexdigest() != ref[n][1]:
+                    bitexact = False
+            n += 1
+
     fps = timed_frames / dt if dt > 0 else 0.0
     if not bitexact:
         fps = 0.0  # a wrong decode doesn't count

@@ -87,9 +87,23 @@ class Frame:
 
     def sync_host(self):
         if self._host_stale and self.dev is not None:
+            # d2h through the host link is the slowest path in the
+            # system (~1-40 MB/s): cast to the narrow output dtype and
+            # crop to the visible area on device before pulling (4x+
+            # fewer bytes than the padded int32 planes)
+            import jax.numpy as jnp
+            w, h = self.size
+            # pull the full 8px-aligned coded area, not just the
+            # visible crop: the loop filter (and intra edges) touch
+            # coded-but-invisible bottom/right pixels whose values feed
+            # visible ones
+            cw, ch = ((w + 7) >> 3) * 8, ((h + 7) >> 3) * 8
+            dt = jnp.uint8 if self.bpp == 8 else jnp.uint16
             for i in range(3):
-                self.planes[i][...] = np.asarray(self.dev[i]
-                                                 ).astype(np.int32)
+                ph = ch if i == 0 else ch >> self.ss_v
+                pw = cw if i == 0 else cw >> self.ss_h
+                small = self.dev[i][:ph, :pw].astype(dt)
+                self.planes[i][:ph, :pw] = np.asarray(small)
             self._host_stale = False
 
     def crop(self):

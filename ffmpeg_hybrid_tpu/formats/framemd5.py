@@ -21,7 +21,7 @@ def parse_framemd5(path: str):
     return out
 
 
-def decode_file_md5s(path: str, backend="golden"):
+def decode_file_md5s(path: str, backend="golden", use_native=None):
     """Decode an IVF file and return [(size, md5hex)] per output frame."""
     from ..codecs.vp9.decoder import VP9Decoder
     from .ivf import read_ivf
@@ -32,7 +32,7 @@ def decode_file_md5s(path: str, backend="golden"):
         pkts = read_webm(path)
     else:
         info, pkts = read_ivf(path)
-    dec = VP9Decoder(recon_backend=backend)
+    dec = VP9Decoder(recon_backend=backend, use_native=use_native)
     out = []
     for pts, data in pkts:
         for _fpts, fd in split_superframe(data, pts):

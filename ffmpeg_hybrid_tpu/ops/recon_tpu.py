@@ -254,75 +254,100 @@ def _build_intra_schedule(s, plane_idx):
                     lvl = max(lvl, LW[cy0:cy0 + k, cx0 - 1].max())
                 lvl += 1
                 LW[cy0:cy0 + k, cx0:cx0 + k] = lvl
-                # edge gather spec
-                eidx, emask, econst = _edge_spec(
-                    m, sz, py, px, Wp, have_top, have_left, have_right,
-                    n_have_top, n_have_left, base)
                 while len(levels) < lvl:
                     levels.append({})
                 levels[lvl - 1].setdefault(sz, []).append(
-                    (py, px, m, eidx, emask, econst))
+                    (py, px, m, int(have_top), int(have_left),
+                     int(have_right), n_have_top, n_have_left))
     return levels
 
 
-def _edge_spec(m, sz, py, px, Wp, have_top, have_left, have_right,
-               n_have_top, n_have_left, base):
-    """Per-block canonical edge vector gather spec (host).
-    Returns (flat_idx[ne], use_const[ne], const_val[ne]) implementing
-    check_intra_mode's assembly (reference: vp9recon.c:98-217)."""
+# EDGES flags per converted mode: needs_left, needs_top, needs_tl,
+# needs_tr (reference: vp9recon.c:71-97)
+def _edges_arr():
+    from ..codecs.vp9.golden import EDGES
+    arr = np.zeros((15, 4), np.int32)
+    for m, fl in EDGES.items():
+        arr[m] = fl[:4]
+    return arr
+
+
+_EDGES_ARR = _edges_arr()
+
+
+def _edge_spec_dev(ent, sz, Wp, bpp):
+    """Device edge-vector gather spec from compact entries.
+
+    ent: [N, 8] int32 (py, px, m, have_top, have_left, have_right,
+    n_have_top, n_have_left). Returns (idx [N, ne], cmask, cval)
+    implementing check_intra_mode's edge assembly exactly as the former
+    host _edge_spec (reference: vp9recon.c:98-217)."""
+    py, px, m, ht, hl, hr, nht, nhl = (ent[:, i][:, None]
+                                       for i in range(8))
+    base = 128 << (bpp - 8)
     ta = 2 * sz if sz == 4 else sz
     ne = it.edge_len(sz)
-    idx = np.zeros(ne, np.int64)
-    cmask = np.ones(ne, bool)
-    cval = np.zeros(ne, np.int64)
-    from ..codecs.vp9.golden import EDGES
-    needs_left, needs_top, needs_tl, needs_tr, _inv = EDGES[m]
+    ED = jnp.asarray(_EDGES_ARR)
+    msel = jnp.clip(m, 0, 14)
+    needs_left = ED[msel[:, 0], 0][:, None] != 0
+    needs_top = ED[msel[:, 0], 1][:, None] != 0
+    needs_tl = ED[msel[:, 0], 2][:, None] != 0
+    needs_tr = ED[msel[:, 0], 3][:, None] != 0
+    ht = ht != 0
+    hl = hl != 0
+    hr = hr != 0
 
-    # top entries 1..ta
-    if needs_top:
-        if have_top:
-            for i in range(sz):
-                src = min(i, n_have_top - 1)
-                idx[1 + i] = (py - 1) * Wp + px + src
-                cmask[1 + i] = False
-            if sz == 4:
-                # top-right zone entries 5..8
-                if have_right and sz + 4 <= n_have_top and needs_tr:
-                    for j in range(4):
-                        idx[5 + j] = (py - 1) * Wp + px + 4 + j
-                        cmask[5 + j] = False
-                elif needs_tr:
-                    for j in range(4):
-                        idx[5 + j] = idx[4]
-                        cmask[5 + j] = cmask[4]
-                        cval[5 + j] = cval[4]
-        else:
-            cval[1:1 + ta] = base - 1
-        if needs_tl:
-            if have_left and have_top:
-                idx[0] = (py - 1) * Wp + px - 1
-                cmask[0] = False
-            else:
-                cval[0] = base + (1 if have_top else -1)
-    # left entries (bottom-up canonical)
+    j = jnp.arange(ne)[None, :]
+    idx = jnp.zeros((ent.shape[0], ne), jnp.int32)
+    cmask = jnp.ones((ent.shape[0], ne), bool)
+    cval = jnp.zeros((ent.shape[0], ne), jnp.int32)
+
+    # top entries 1..ta (the first sz are real pixels clamped by
+    # n_have_top; for sz==4 entries 5..8 are the top-right zone)
+    i = j - 1
+    in_main = (j >= 1) & (i < sz)
+    src = jnp.minimum(i, nht - 1)
+    top_idx = (py - 1) * Wp + px + src
+    sel = needs_top & ht & in_main
+    idx = jnp.where(sel, top_idx, idx)
+    cmask = jnp.where(sel, False, cmask)
+    if sz == 4:
+        in_tr = (j >= 5) & (j <= 8)
+        tr_real = hr & (nht >= sz + 4)
+        idx4 = ((py - 1) * Wp + px
+                + jnp.minimum(jnp.int32(3), nht - 1))  # entry 4's pixel
+        tr_idx = jnp.where(tr_real, (py - 1) * Wp + px + 4 + (j - 5),
+                           idx4)
+        sel = needs_top & ht & needs_tr & in_tr
+        idx = jnp.where(sel, tr_idx, idx)
+        cmask = jnp.where(sel, False, cmask)
+    in_top = (j >= 1) & (j <= ta)
+    sel = needs_top & ~ht & in_top
+    cval = jnp.where(sel, base - 1, cval)
+    # topleft entry 0
+    is0 = j == 0
+    sel = needs_tl & hl & ht & is0
+    idx = jnp.where(sel, (py - 1) * Wp + px - 1, idx)
+    cmask = jnp.where(sel, False, cmask)
+    sel = needs_tl & ~(hl & ht) & is0
+    cval = jnp.where(sel, base + jnp.where(ht, 1, -1), cval)
+    # left entries off..off+sz-1 (canonical bottom-up; shortage rows
+    # replicate the oldest available row)
     off = 1 + ta
-    if needs_left:
-        if have_left:
-            npx = min(sz, n_have_left)
-            for i in range(npx):
-                # canonical[sz-1-i] = pixel at row py+i
-                idx[off + sz - 1 - i] = (py + i) * Wp + px - 1
-                cmask[off + sz - 1 - i] = False
-            # shortage: canonical[0 .. sz-npx-1] = canonical[sz-npx]
-            for i in range(sz - npx):
-                idx[off + i] = idx[off + sz - npx]
-                cmask[off + i] = cmask[off + sz - npx]
-                cval[off + i] = cval[off + sz - npx]
-        else:
-            cval[off:off + sz] = base + 1
+    r = j - off
+    in_left = (r >= 0) & (r < sz)
+    npx = jnp.minimum(jnp.int32(sz), nhl)
+    i_eff = jnp.where(r >= sz - npx, sz - 1 - r, npx - 1)
+    left_idx = (py + i_eff) * Wp + px - 1
+    sel = needs_left & hl & in_left
+    idx = jnp.where(sel, left_idx, idx)
+    cmask = jnp.where(sel, False, cmask)
+    sel = needs_left & ~hl & in_left
+    cval = jnp.where(sel, base + 1, cval)
     # constants
-    cval[off + sz] = base
-    cval[off + sz + 1] = 1
+    cval = jnp.where(j == off + sz, base, cval)
+    cval = jnp.where(j == off + sz + 1, 1, cval)
+    idx = jnp.where(cmask, 0, idx)
     return idx, cmask, cval
 
 
@@ -370,15 +395,15 @@ def _pad_to_bucket(n, base=8, mult=4):
 
 @partial(jax.jit, static_argnames=("nb", "sz", "bpp"))
 def _intra_level_packed(plane, residual, packed, off, nb, sz, bpp):
-    """One wavefront level from a packed row buffer.
-    packed rows: [eidx(ne) | emask(ne) | econst(ne) | mode | py | px];
-    `off` is a traced row offset so every level of a given bucket size
-    shares one compiled executable."""
-    ne = it.edge_len(sz)
-    sl = jax.lax.dynamic_slice(packed, (off, 0), (nb, 3 * ne + 3))
-    d = {"eidx": sl[:, :ne], "emask": sl[:, ne:2 * ne].astype(bool),
-         "econst": sl[:, 2 * ne:3 * ne], "modes": sl[:, 3 * ne],
-         "pys": sl[:, 3 * ne + 1], "pxs": sl[:, 3 * ne + 2]}
+    """One wavefront level from a packed compact-entry buffer.
+    packed rows: [py, px, m, have_top, have_left, have_right,
+    n_have_top, n_have_left] int16; the edge gather spec is computed on
+    device (_edge_spec_dev). `off` is a traced row offset so every
+    level of a given bucket size shares one compiled executable."""
+    sl = jax.lax.dynamic_slice(packed, (off, 0), (nb, 8)).astype(jnp.int32)
+    eidx, emask, econst = _edge_spec_dev(sl, sz, plane.shape[1], bpp)
+    d = {"eidx": eidx, "emask": emask, "econst": econst,
+         "modes": sl[:, 2], "pys": sl[:, 0], "pxs": sl[:, 1]}
     return _intra_batch_apply(plane, residual, d, sz, bpp)
 
 
@@ -400,18 +425,14 @@ def run_intra_plane(s, plane_dev, residual_dev, levels):
             for sz, entries in lvl.items():
                 n = len(entries)
                 nb = _pad_to_bucket(n, base=8, mult=2)
-                ne = it.edge_len(sz)
-                seg = np.zeros((nb, 3 * ne + 3), np.int32)
-                seg[:, ne:2 * ne] = 1          # pad rows: emask on,
-                seg[:, 3 * ne + 1] = Hp + 64   # econst 0, oob -> dropped
-                seg[:, 3 * ne + 2] = Wp + 64
-                for i, (py, px, m, ei, em, ec) in enumerate(entries):
-                    seg[i, :ne] = ei
-                    seg[i, ne:2 * ne] = em
-                    seg[i, 2 * ne:3 * ne] = ec
-                    seg[i, 3 * ne] = m
-                    seg[i, 3 * ne + 1] = py
-                    seg[i, 3 * ne + 2] = px
+                seg = np.zeros((nb, 8), np.int16)
+                # pad rows: oob py/px (scatter-dropped), consts-only
+                # edges (no gathers), valid clamp inputs
+                seg[:, 0] = Hp + 64
+                seg[:, 1] = Wp + 64
+                seg[:, 2] = 2  # DC
+                seg[:, 6:8] = 1
+                seg[:n] = entries
                 segs.setdefault(sz, []).append(seg)
                 calls.append((sz, offs.get(sz, 0), nb))
                 offs[sz] = offs.get(sz, 0) + nb
@@ -425,8 +446,11 @@ def run_intra_plane(s, plane_dev, residual_dev, levels):
             # shape (and thus the compiled executable) converges
             tot = _pad_to_bucket(buf.shape[0], base=64, mult=2)
             if tot != buf.shape[0]:
-                pad = np.zeros((tot - buf.shape[0], buf.shape[1]),
-                               np.int32)
+                pad = np.zeros((tot - buf.shape[0], 8), np.int16)
+                pad[:, 0] = Hp + 64   # inert rows (scatter-dropped)
+                pad[:, 1] = Wp + 64
+                pad[:, 2] = 2
+                pad[:, 6:8] = 1
                 buf = np.concatenate([buf, pad], axis=0)
             dev[sz] = jnp.asarray(buf)
     with metrics.timer("intra.level_dispatch"):
@@ -622,53 +646,62 @@ def _pack_records(s):
 # ---------------------------------------------------------------------------
 # frame orchestration
 
-# combined per-plane tile row: 1024 coef + 64 eob + (ti, tj) + 2 pad
-TILE_ROW = 1092
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _scatter_pairs16(pv, H, W):
+    """Rebuild a dense int16 [H, W] array from (pos-hi, pos-lo, value)
+    int16 triples (pad rows have pos-hi < 0 -> dropped)."""
+    pos = ((pv[:, 0].astype(jnp.int32) << 16)
+           | (pv[:, 1].astype(jnp.int32) & 0xffff))
+    pos = jnp.where(pos < 0, jnp.int32(1 << 30), pos)
+    out = jnp.zeros((H * W,), jnp.int16).at[pos].set(pv[:, 2],
+                                                     mode="drop")
+    return out.reshape(H, W)
 
 
-def _scatter_coef_eob(pk, H, W):
-    """Rebuild the dense int16 coefficient plane and the [r4, c4] eob
-    grid from packed tile rows (pad rows have ti == -1 -> dropped)."""
-    kb = pk.shape[0]
-    tiles = pk[:, :1024].reshape(kb, 32, 32)
-    eobsub = pk[:, 1024:1088].reshape(kb, 8, 8)
-    ti = pk[:, 1088].astype(jnp.int32)
-    tj = pk[:, 1089].astype(jnp.int32)
-    big = jnp.int32(1 << 20)
-    ti = jnp.where(ti < 0, big, ti)
-    c = jnp.zeros((H // 32, W // 32, 32, 32), jnp.int16)
-    c = c.at[ti, tj].set(tiles, mode="drop")
-    coef = c.transpose(0, 2, 1, 3).reshape(H, W)
-    e = jnp.zeros((H // 32, W // 32, 8, 8), jnp.int16)
-    e = e.at[ti, tj].set(eobsub, mode="drop")
-    eob4 = e.transpose(0, 2, 1, 3).reshape(H // 4, W // 4)
-    return coef, eob4
+def _fill_pairs(out, pos, val, n):
+    out[:n, 0] = pos >> 16
+    out[:n, 1] = pos & 0xffff
+    out[:n, 2] = val
 
 
-def _pack_coef_host(coef, eob4):
-    """Pack the coefficient plane's nonzero 32x32 tiles + their 8x8 eob
-    subgrids into combined TILE_ROW rows (identified via the eob grid,
-    so stale pooled-buffer content is never shipped). Typical inter
-    frames are skip-heavy: this cuts the per-frame h2d volume from ~6MB
-    dense to tens of KB; the dense planes are rebuilt on device."""
+def _pack_coef_host(coef, eob4, txg):
+    """Pack the plane's nonzero dequantized coefficients and the eob
+    grid as (position, value) int16 triples. The walk is eob-driven
+    (only coded tx blocks' areas are read), so stale pooled-buffer
+    content is never shipped. A 1080p keyframe ships ~1.5MB instead of
+    6.5MB of 32x32 tiles; skip-heavy inter frames ship a few KB."""
     H, W = coef.shape
-    th, tw = H // 32, W // 32
-    mask = eob4.reshape(th, 8, tw, 8).any(axis=(1, 3))
-    ti, tj = np.nonzero(mask)
-    k = len(ti)
-    kb = _pad_to_bucket(max(k, 1), base=16, mult=2)
-    pk = np.zeros((kb, TILE_ROW), np.int16)
-    pk[:, 1088] = -1  # pad sentinel
-    if k:
-        from ..passa_native import pack_plane_tiles_native
-        if not pack_plane_tiles_native(coef, eob4, ti, tj, pk):
-            view = coef.reshape(th, 32, tw, 32)
-            pk[:k, :1024] = view[ti, :, tj, :].reshape(k, 1024)
-            ev = eob4.reshape(th, 8, tw, 8)
-            pk[:k, 1024:1088] = ev[ti, :, tj, :].reshape(k, 64)
-            pk[:k, 1088] = ti
-            pk[:k, 1089] = tj
-    return pk
+    from ..passa_native import count_pairs_native, pack_pairs_native
+    counts = count_pairs_native(coef, eob4, txg)
+    if counts is not None:
+        nc, ne = counts
+        cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), 3),
+                      np.int16)
+        ep = np.zeros((_pad_to_bucket(ne + 1, base=256, mult=2), 3),
+                      np.int16)
+        cp[:, 0] = -1
+        ep[:, 0] = -1
+        pack_pairs_native(coef, eob4, txg, cp, ep)
+        return cp, ep
+    # pure-Python pass A writes fresh zeroed buffers: every nonzero in
+    # the plane is a coded coefficient
+    py, px = np.nonzero(coef)
+    pos = (py * W + px).astype(np.int64)
+    val = coef[py, px]
+    nc = len(pos)
+    cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), 3),
+                  np.int16)
+    cp[:, 0] = -1
+    _fill_pairs(cp, pos, val, nc)
+    er, ec = np.nonzero(eob4)
+    epos = (er * eob4.shape[1] + ec).astype(np.int64)
+    ne = len(epos)
+    ep = np.zeros((_pad_to_bucket(ne + 1, base=256, mult=2), 3),
+                  np.int16)
+    ep[:, 0] = -1
+    _fill_pairs(ep, epos, eob4[er, ec], ne)
+    return cp, ep
 
 
 def recon_frame(s):
@@ -718,9 +751,12 @@ def recon_frame(s):
 
         with metrics.timer("recon.upload_coef"):
             # 8bpp dctcoefs fit int16 (spec inter-pass wraparound);
-            # ship only the nonzero 32x32 tiles + eob subgrids and
-            # rebuild the dense planes on device
-            pk_dev = jnp.asarray(_pack_coef_host(coef, eob4))
+            # ship only (position, value) pairs of the nonzero
+            # coefficients and rebuild the dense planes on device
+            txg = s.txsz4 if plane_idx == 0 else s.uvtx4
+            cp, ep = _pack_coef_host(coef, eob4, txg)
+            coef_dev = _scatter_pairs16(jnp.asarray(cp), *coef.shape)
+            eob_dev = _scatter_pairs16(jnp.asarray(ep), *eob4.shape)
 
         if has_inter_frame:
             w, hh = cur.size
@@ -744,16 +780,15 @@ def recon_frame(s):
                 mv16_p = grids
             with metrics.timer("recon.inter_enqueue"):
                 plane_dev, residual = _recon_plane_inter(
-                    pk_dev, inter4_p, txsz4_p, txtype4_p, comp4_p,
-                    filt4_p, refsel_p, mv16_p,
-                    refplanes[0], refplanes[1], refplanes[2],
-                    coef.shape[0], coef.shape[1], w, hh,
+                    coef_dev, eob_dev, inter4_p, txsz4_p, txtype4_p,
+                    comp4_p, filt4_p, refsel_p, mv16_p,
+                    refplanes[0], refplanes[1], refplanes[2], w, hh,
                     bool(h.lossless), bpp, mvsx, mvsy)
         else:
             with metrics.timer("recon.residual_enqueue"):
                 plane_dev, residual = _recon_plane_intra_only(
-                    pk_dev, grids[1], grids[2], coef.shape[0],
-                    coef.shape[1], bool(h.lossless), bpp)
+                    coef_dev, eob_dev, grids[1], grids[2],
+                    bool(h.lossless), bpp)
 
         with metrics.timer("recon.intra_sched"):
             levels = _build_intra_schedule(s, plane_idx) if plane_idx < 2 \
@@ -805,15 +840,15 @@ def recon_frame(s):
             golden.loopfilter_frame(s)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "w", "hh", "lossless",
+@partial(jax.jit, static_argnames=("w", "hh", "lossless",
                                    "bpp", "mvsx", "mvsy"))
-def _recon_plane_inter(pk, inter4, txsz4, txtype4, comp, filt, refsel,
-                       mv16, ref0, ref1, ref2, H, W, w, hh, lossless,
+def _recon_plane_inter(coef, eob4, inter4, txsz4, txtype4, comp, filt,
+                       refsel, mv16, ref0, ref1, ref2, w, hh, lossless,
                        bpp, mvsx=2, mvsy=2):
-    """Fused inter pass: tile-row unpack + residual transforms +
-    per-cell MC + apply. All per-cell metadata arrives as device grids
-    (rebuilt from block records by _grids_from_records)."""
-    coef, eob4 = _scatter_coef_eob(pk, H, W)
+    """Fused inter pass: residual transforms + per-cell MC + apply.
+    All per-cell metadata arrives as device grids (rebuilt from block
+    records by _grids_from_records); coef/eob are device-scattered."""
+    H, W = coef.shape
     comp = comp.astype(bool)
     inter4 = inter4.astype(bool)
     coef = coef.astype(jnp.int32)
@@ -838,10 +873,10 @@ def _recon_plane_inter(pk, inter4, txsz4, txtype4, comp, filt, refsel,
     return plane, residual
 
 
-@partial(jax.jit, static_argnames=("H", "W", "lossless", "bpp"))
-def _recon_plane_intra_only(pk, txsz4, txtype4, H, W, lossless, bpp):
-    """Keyframe/intra-only plane: unpack tiles, residual only."""
-    coef, eob4 = _scatter_coef_eob(pk, H, W)
+@partial(jax.jit, static_argnames=("lossless", "bpp"))
+def _recon_plane_intra_only(coef, eob4, txsz4, txtype4, lossless, bpp):
+    """Keyframe/intra-only plane: residual only."""
+    H, W = coef.shape
     residual = residual_plane(coef, eob4, txsz4, txtype4, lossless,
                               bpp).astype(jnp.int32)
     return jnp.zeros((H, W), jnp.int32), residual

@@ -375,6 +375,33 @@ def gather_tiles_native(coef, ti, tj, tiles_out) -> bool:
     return True
 
 
+def count_pairs_native(coef, eob4, txg):
+    """Count (nonzero coef, coded tx block) pairs. None if no native."""
+    if not available():
+        return None
+    counts = np.zeros(2, np.int32)
+    r4, c4 = eob4.shape
+    lib().vp9_count_pairs(
+        _p(coef, i32p), C.c_int(coef.shape[1]),
+        _p(eob4, i32p), _p(txg, i8p), C.c_int(r4), C.c_int(c4),
+        _p(counts, i32p))
+    return int(counts[0]), int(counts[1])
+
+
+def pack_pairs_native(coef, eob4, txg, cp_out, ep_out) -> bool:
+    if not available():
+        return False
+    r4, c4 = eob4.shape
+    rc = lib().vp9_pack_pairs(
+        _p(coef, i32p), C.c_int(coef.shape[1]),
+        _p(eob4, i32p), _p(txg, i8p), C.c_int(r4), C.c_int(c4),
+        _p(cp_out, i16p), C.c_int(cp_out.shape[0]),
+        _p(ep_out, i16p), C.c_int(ep_out.shape[0]))
+    if rc != 0:
+        raise ValueError("pair packing overflow")
+    return True
+
+
 def pack_plane_tiles_native(coef, eob4, ti, tj, pk_out) -> bool:
     """Pack combined [k, 1092] tile rows (coef + eob + ti/tj) in C."""
     if not available():

@@ -561,3 +561,74 @@ void vp9_pack_plane_tiles(const int32_t *coef, int W,
         d[1091] = 0;
     }
 }
+
+/* Count/pack nonzero dequantized coefficients as (flat position, value)
+ * triples of int16 (pos split hi/lo).  Walk is driven by the eob grid
+ * (eob stored at tx-block root cells only), so only coded tx blocks'
+ * areas are read: a 1080p keyframe ships ~250k pairs (~1.5MB) instead
+ * of 6.5MB of dense 32x32 tiles.  Also emits (cell, eob) triples for
+ * rebuilding the eob grid on device. */
+int vp9_count_pairs(const int32_t *coef, int W,
+                    const int32_t *eob4, const int8_t *txsz4,
+                    int r4, int c4, int32_t *counts /* [2] */)
+{
+    int nc = 0, ne = 0;
+    for (int r = 0; r < r4; r++) {
+        for (int c = 0; c < c4; c++) {
+            int eob = eob4[(int64_t)r * c4 + c];
+            if (!eob)
+                continue;
+            ne++;
+            int sz = 4 << txsz4[(int64_t)r * c4 + c];
+            const int32_t *p = coef + (int64_t)r * 4 * W + (int64_t)c * 4;
+            for (int y = 0; y < sz; y++)
+                for (int x = 0; x < sz; x++)
+                    if (p[(int64_t)y * W + x])
+                        nc++;
+        }
+    }
+    counts[0] = nc;
+    counts[1] = ne;
+    return 0;
+}
+
+int vp9_pack_pairs(const int32_t *coef, int W,
+                   const int32_t *eob4, const int8_t *txsz4,
+                   int r4, int c4,
+                   int16_t *coef_out /* [capc][3] */, int capc,
+                   int16_t *eob_out /* [cape][3] */, int cape)
+{
+    int nc = 0, ne = 0;
+    for (int r = 0; r < r4; r++) {
+        for (int c = 0; c < c4; c++) {
+            int eob = eob4[(int64_t)r * c4 + c];
+            if (!eob)
+                continue;
+            if (ne >= cape)
+                return -1;
+            int32_t cell = r * c4 + c;
+            eob_out[ne * 3 + 0] = (int16_t)(cell >> 16);
+            eob_out[ne * 3 + 1] = (int16_t)(cell & 0xffff);
+            eob_out[ne * 3 + 2] = (int16_t)eob;
+            ne++;
+            int sz = 4 << txsz4[(int64_t)r * c4 + c];
+            const int32_t *p = coef + (int64_t)r * 4 * W + (int64_t)c * 4;
+            int64_t base = (int64_t)r * 4 * W + (int64_t)c * 4;
+            for (int y = 0; y < sz; y++) {
+                for (int x = 0; x < sz; x++) {
+                    int32_t v = p[(int64_t)y * W + x];
+                    if (!v)
+                        continue;
+                    if (nc >= capc)
+                        return -1;
+                    int32_t pos = (int32_t)(base + (int64_t)y * W + x);
+                    coef_out[nc * 3 + 0] = (int16_t)(pos >> 16);
+                    coef_out[nc * 3 + 1] = (int16_t)(pos & 0xffff);
+                    coef_out[nc * 3 + 2] = (int16_t)v;
+                    nc++;
+                }
+            }
+        }
+    }
+    return 0;
+}

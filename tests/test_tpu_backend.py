@@ -24,3 +24,18 @@ def test_tpu_backend_conformance(name):
     assert len(got) == len(ref)
     for i, (r, g) in enumerate(zip(ref, got)):
         assert r == g, f"{name} frame {i}: TPU backend mismatch"
+
+
+@pytest.mark.parametrize("name", ["inter_66x66_5f", "intra_66x66"])
+def test_tpu_backend_no_native(name):
+    """TPU pass B fed by the pure-Python pass A (record synthesis, the
+    numpy pair packer, and the host loop-filter fallback through
+    sync_host's coded-area pull)."""
+    ivf = os.path.join(VEC_DIR, name + ".ivf")
+    if not os.path.exists(ivf):
+        pytest.skip("vectors not generated")
+    ref = parse_framemd5(os.path.join(VEC_DIR, name + ".framemd5"))
+    got = decode_file_md5s(ivf, backend="tpu", use_native=False)
+    assert len(got) == len(ref)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"{name} frame {i}: no-native TPU mismatch"
