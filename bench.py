@@ -50,27 +50,37 @@ def main():
     # compiled and loaded. No host readbacks yet: d2h through the host
     # link runs at ~1-40 MB/s AND degrades the link for the rest of the
     # process, so all d2h is deferred until after the timed pass.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "45"))
     for fd in packets:
         dec.decode(fd)
     drain(dec)
 
-    # Pass 2 (timed): steady-state decode. Frames remain device-resident
-    # (the production mode: decoded frames feed further TPU compute) but
-    # each frame is drained before the next starts: the host link
+    # Pass 2 (timed): steady-state pipelined decode — pass A (host
+    # entropy) of frame N+1 overlaps pass B (uploads + dispatch) of
+    # frame N via decode_stream. Frames remain device-resident (the
+    # production mode: decoded frames feed further TPU compute) but each
+    # frame is drained before the next's uploads start: the host link
     # serializes transfers behind queued compute, so letting the queue
     # grow makes every upload wait out the backlog (measured: drain-per
     # -frame is ~2.4x faster than drain-every-8 on the axon tunnel).
+    # The clip is looped to fill the time budget (each loop restarts at
+    # the keyframe, so every loop decodes identically).
+    def packet_loop():
+        while True:
+            yield from packets
+
     dec2 = VP9Decoder(recon_backend="tpu")
     timed_frames = 0
     t_start = time.time()
-    for i, fd in enumerate(packets):
-        timed_frames += len(dec2.decode(fd))
-        drain(dec2)
+    for i, f in enumerate(dec2.decode_stream(packet_loop())):
+        if f.dev is not None:
+            for p in f.dev:
+                jax.block_until_ready(p)
+        timed_frames += 1
         if i == 7:  # restart after pipeline warm-up
             t_start = time.time()
             timed_frames = 0
-        if time.time() - t_start > budget_s:
+        elif i > 7 and time.time() - t_start > budget_s:
             break
     dt = time.time() - t_start
 

@@ -128,6 +128,32 @@ class Frame:
                 + v.astype("<u2").tobytes())
 
 
+class FrameJob:
+    """Snapshot of one frame's pass-A outputs — everything pass-B
+    reconstruction reads. Lets pass A of the next frame run (and mutate
+    the decoder) while this frame's pass B is still dispatching."""
+    __slots__ = ("ready", "outputs", "refs", "lim_lut", "mblim_lut",
+                 "recon_backend", "pre", "_uv_levels") + tuple(
+        a for a in (
+            "header", "cur_frame_obj", "mvscale", "mvstep", "blocks",
+            "block_records", "coef_y", "coef_u", "coef_v", "eob_y",
+            "eob_u", "eob_v", "txsz4", "txtype4", "uvtx4", "inter4",
+            "inter4uv", "mv4", "uvmv4", "ref4", "comp4", "filter4",
+            "lf_level", "lf_mask", "cols", "rows", "sb_cols", "sb_rows",
+            "ss_h", "ss_v", "use_native"))
+
+    def __init__(self):
+        self.pre = None
+
+
+_JOB_ATTRS = (
+    "header", "cur_frame_obj", "mvscale", "mvstep", "blocks",
+    "block_records", "coef_y", "coef_u", "coef_v", "eob_y", "eob_u",
+    "eob_v", "txsz4", "txtype4", "uvtx4", "inter4", "inter4uv", "mv4",
+    "uvmv4", "ref4", "comp4", "filter4", "lf_level", "lf_mask",
+    "cols", "rows", "sb_cols", "sb_rows", "ss_h", "ss_v", "use_native")
+
+
 class VP9Decoder:
     """Stateful VP9 decoder. decode(packet) -> list of output Frames."""
 
@@ -223,11 +249,13 @@ class VP9Decoder:
 
         key = (H64, W64, ss_h, ss_v)
         if self.use_native:
+            # 4-deep: the pipelined mode keeps up to 3 frames' buffers
+            # live (pass-B current, queued job, worker's in-progress)
             pool = getattr(self, "_geom_pool", None)
             if pool is None or pool[0] != key:
-                pool = (key, [alloc() for _ in range(3)], [0])
+                pool = (key, [alloc() for _ in range(4)], [0])
                 self._geom_pool = pool
-            gen = pool[1][pool[2][0] % 3]
+            gen = pool[1][pool[2][0] % 4]
             pool[2][0] += 1
             for name, arr in gen.items():
                 setattr(self, name, arr)
@@ -376,13 +404,76 @@ class VP9Decoder:
     def decode(self, data: bytes):
         """Decode one (non-superframe) packet. Returns list of Frames to
         output (0 or 1)."""
+        return self.decode_pass_b(self.decode_pass_a(data))
+
+    def decode_stream(self, packets):
+        """Pipelined decode of an iterable of packets: pass A (host
+        entropy decode) of frame N+1 runs in a worker thread while pass B
+        (device uploads + dispatch) of frame N runs on the calling
+        thread. The pass-A chain is frame-serial by spec
+        (passA -> adapt_probs -> passA, reference: vp9.c:1821-1824) but
+        independent of pass B, which only consumes pass-A tensors and
+        device-resident reference planes — the TPU-native form of the
+        reference's frame threading (pthread_frame.c:501: header+entropy
+        of N+1 overlaps recon of N). Yields output Frames in order."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+        err: list = []
+        stop = threading.Event()
+        _END = object()
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
+        def worker():
+            try:
+                for fd in packets:
+                    if stop.is_set() or not put(self.decode_pass_a(fd)):
+                        return
+            except BaseException as e:  # noqa: BLE001 - propagated below
+                err.append(e)
+            finally:
+                put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                job = q.get()
+                if job is _END:
+                    break
+                yield from self.decode_pass_b(job)
+        finally:
+            # consumer may abandon the generator mid-stream (e.g. a
+            # time-budgeted benchmark): unblock and reap the worker
+            stop.set()
+            t.join()
+        if err:
+            raise err[0]
+
+    def decode_pass_a(self, data: bytes) -> "FrameJob":
+        """Host stage: header parse, tile entropy decode into dense
+        tensors, probability adaptation, ref-slot rotation, and pass-B
+        host precomputation (intra schedule, coefficient packing, loop
+        filter schedule). Returns a FrameJob snapshot that
+        decode_pass_b can reconstruct independently of decoder state."""
         h = parse_uncompressed_header(data, self)
 
         if h.show_existing_idx >= 0:
             f = self.refs[h.show_existing_idx]
             if f is None:
                 raise ValueError("show-existing ref not available")
-            return [f]
+            job = FrameJob()
+            job.ready = [f]
+            return job
 
         # retain_segmap uses the *previous* frame's segmentation flags
         # (reference: vp9.c:1616-1617 evaluated before header parse)
@@ -478,23 +569,49 @@ class VP9Decoder:
                 adapt_probs(self.prob_ctx[c], self.probs, counts, h,
                             self.last_keyframe)
 
-        # pass B: reconstruction
-        with metrics.timer("decode.pass_b"):
-            if self.recon_backend == "golden":
-                from . import golden
-                golden.recon_frame(self)
-                golden.loopfilter_frame(self)
-            else:
-                from ...ops import recon_tpu
-                recon_tpu.recon_frame(self)
+        # snapshot everything pass B reads (pass A of the next frame
+        # mutates decoder state while pass B of this one may still run)
+        job = FrameJob()
+        job.ready = None
+        for a in _JOB_ATTRS:
+            setattr(job, a, getattr(self, a))
+        job.refs = list(self.refs)          # pre-rotation view
+        job.lim_lut = self.lim_lut.copy()   # refilled per frame
+        job.mblim_lut = self.mblim_lut.copy()
+        job.recon_backend = self.recon_backend
+        job.outputs = [] if h.invisible else [self.cur_frame_obj]
+
+        # pass-B host products that need no device: computed here so the
+        # pipelined mode overlaps them with the previous frame's uploads
+        if self.recon_backend == "tpu":
+            from ...ops import recon_tpu
+            with metrics.timer("decode.pass_b_precompute"):
+                recon_tpu.precompute_host(job)
 
         # reference slot rotation (reference: vp9.c:1688-1692, 1849-1851)
+        # happens at end of pass A: the next frame's pass A (header, MV
+        # prediction) needs the updated slots; pass B of this frame uses
+        # the pre-rotation snapshot in job.refs
         for i in range(8):
             if h.refreshrefmask & (1 << i):
                 self.refs[i] = self.cur_frame_obj
         self.cur_frame = self.cur_frame_obj
+        return job
 
-        return [] if h.invisible else [self.cur_frame_obj]
+    def decode_pass_b(self, job: "FrameJob"):
+        """Device stage: reconstruct the frame from the pass-A snapshot.
+        Returns the list of Frames to output (0 or 1)."""
+        if job.ready is not None:
+            return job.ready
+        with metrics.timer("decode.pass_b"):
+            if job.recon_backend == "golden":
+                from . import golden
+                golden.recon_frame(job)
+                golden.loopfilter_frame(job)
+            else:
+                from ...ops import recon_tpu
+                recon_tpu.recon_frame(job)
+        return job.outputs
 
     # ------------------------------------------------------------------
     def _decode_tiles(self, data: bytes) -> Counts:

@@ -704,20 +704,67 @@ def _pack_coef_host(coef, eob4, txg):
     return cp, ep
 
 
+def _needs_golden_fallback(s):
+    """Scaled-reference and high-bit-depth frames fall back to the
+    golden path this round (10/12-bit transforms need int64
+    intermediates, which jnp silently truncates without x64 mode)."""
+    return (any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
+            or s.header.bpp > 8)
+
+
+def precompute_host(s):
+    """Pass-B host-only products, computed at the end of pass A so the
+    pipelined decode mode overlaps them with the previous frame's
+    device uploads: the intra wavefront schedule, the sparse coefficient
+    (pos,value) packing, and the loop-filter edge schedule. Results land
+    in s.pre; recon_frame uses them when present."""
+    if _needs_golden_fallback(s):
+        return
+    h = s.header
+    pre = {"levels": [None, None], "pairs": [None] * 3, "lf": None}
+    with metrics.timer("recon.intra_sched"):
+        pre["levels"][0] = _build_intra_schedule(s, 0)
+        pre["levels"][1] = _build_intra_schedule(s, 1)
+    with metrics.timer("recon.coef_pack"):
+        for plane_idx in range(3):
+            coef = (s.coef_y, s.coef_u, s.coef_v)[plane_idx]
+            eob4 = (s.eob_y, s.eob_u, s.eob_v)[plane_idx]
+            txg = s.txsz4 if plane_idx == 0 else s.uvtx4
+            pre["pairs"][plane_idx] = _pack_coef_host(coef, eob4, txg)
+    if h.filter_level and getattr(s, "use_native", False):
+        try:
+            from ..passa_native import lpf_record_native
+            from . import lpf_tpu
+            with metrics.timer("recon.lf_record"):
+                y_rec, ny, uv_rec, nuv = lpf_record_native(s)
+            with metrics.timer("recon.lf_pack"):
+                ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
+                uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
+            pre["lf"] = (ysteps, ny, uvsteps, nuv)
+        except OSError:
+            pass
+    s.pre = pre
+
+
 def recon_frame(s):
     h = s.header
     bpp = h.bpp
-    if (any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
-            or bpp > 8):
-        # scaled-reference and high-bit-depth frames fall back to the
-        # golden path this round (10/12-bit transforms need int64
-        # intermediates, which jnp silently truncates without x64 mode)
+    if _needs_golden_fallback(s):
         from ..codecs.vp9 import golden
+        if not (h.keyframe or h.intraonly):
+            # the golden path reads host pixels of the reference
+            # frames; frames produced by the TPU path are
+            # device-resident until synced
+            for i in range(3):
+                rf = s.refs[h.refidx[i]]
+                if rf is not None:
+                    rf.sync_host()
         golden.recon_frame(s)
         golden.loopfilter_frame(s)
         return
 
     cur = s.cur_frame_obj
+    pre = getattr(s, "pre", None)
 
     # one thin upload for all block metadata; dense grids are rebuilt on
     # device (_grids_from_records)
@@ -753,8 +800,11 @@ def recon_frame(s):
             # 8bpp dctcoefs fit int16 (spec inter-pass wraparound);
             # ship only (position, value) pairs of the nonzero
             # coefficients and rebuild the dense planes on device
-            txg = s.txsz4 if plane_idx == 0 else s.uvtx4
-            cp, ep = _pack_coef_host(coef, eob4, txg)
+            if pre is not None:
+                cp, ep = pre["pairs"][plane_idx]
+            else:
+                txg = s.txsz4 if plane_idx == 0 else s.uvtx4
+                cp, ep = _pack_coef_host(coef, eob4, txg)
             coef_dev = _scatter_pairs16(jnp.asarray(cp), *coef.shape)
             eob_dev = _scatter_pairs16(jnp.asarray(ep), *eob4.shape)
 
@@ -791,10 +841,14 @@ def recon_frame(s):
                     bool(h.lossless), bpp)
 
         with metrics.timer("recon.intra_sched"):
-            levels = _build_intra_schedule(s, plane_idx) if plane_idx < 2 \
-                else s._uv_levels
-            if plane_idx == 1:
-                s._uv_levels = levels  # U and V share geometry/modes
+            if pre is not None:
+                levels = pre["levels"][min(plane_idx, 1)]
+            elif plane_idx < 2:
+                levels = _build_intra_schedule(s, plane_idx)
+                if plane_idx == 1:
+                    s._uv_levels = levels  # U and V share geometry/modes
+            else:
+                levels = s._uv_levels
         with metrics.timer("recon.intra_run"):
             plane_dev = run_intra_plane(s, plane_dev, residual, levels)
         outs.append(plane_dev)
@@ -804,13 +858,17 @@ def recon_frame(s):
     lf_done = False
     if h.filter_level and getattr(s, "use_native", False):
         try:
-            from ..passa_native import lpf_record_native
             from . import lpf_tpu
-            with metrics.timer("recon.lf_record"):
-                y_rec, ny, uv_rec, nuv = lpf_record_native(s)
-            with metrics.timer("recon.lf_pack"):
-                ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
-                uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
+            if pre is not None and pre["lf"] is not None:
+                ysteps, ny, uvsteps, nuv = pre["lf"]
+            else:
+                from ..passa_native import lpf_record_native
+                with metrics.timer("recon.lf_record"):
+                    y_rec, ny, uv_rec, nuv = lpf_record_native(s)
+                with metrics.timer("recon.lf_pack"):
+                    ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
+                    uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv,
+                                                    s.sb_cols)
             with metrics.timer("recon.lf_enqueue"):
                 if ny:
                     y = lpf_tpu._lf_scan(outs[0][None],
