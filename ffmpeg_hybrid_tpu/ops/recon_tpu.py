@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..utils.metrics import metrics
 
+from . import dw
 from . import itxfm
 from . import intra_tables as it
 from ..codecs.vp9 import tables as T
@@ -52,9 +53,12 @@ for _m in range(16):
 @partial(jax.jit, static_argnames=("tx", "lossless", "bpp", "hsz", "wsz"))
 def _residual_for_size(coef, eob4, txsz4, txtype4, tx, lossless, bpp,
                        hsz, wsz):
-    """Residual contribution of all tiles of size `tx` -> [H, W] int32."""
+    """Residual contribution of all tiles of size `tx` -> [H, W] int32.
+    At 10/12 bpp the transforms run on double-word int32 pairs (ops/dw)
+    for exact `dctint int64_t` semantics on the int32 VPU."""
     if coef.dtype == jnp.int16:
         coef = coef.astype(jnp.int32)  # 8bpp coefs upload narrow
+    hbd = bpp > 8
     sz = 4 << tx
     k = sz // 4
     H, W = coef.shape
@@ -66,27 +70,41 @@ def _residual_for_size(coef, eob4, txsz4, txtype4, tx, lossless, bpp,
     active = (roots_sz == tx)
 
     if lossless:
-        r = itxfm.itxfm_2d(jnp, tiles, 4, 0, bpp)
-        res = itxfm.round_residual(r, 4)
+        if hbd:
+            res = dw.round_residual(dw.itxfm_2d(tiles, 4, 0), 4)
+        else:
+            r = itxfm.itxfm_2d(jnp, tiles, 4, 0, bpp)
+            res = itxfm.round_residual(r, 4)
     elif tx == 3:
-        r = itxfm.itxfm_2d(jnp, tiles, 3, 0, bpp)
-        full = itxfm.round_residual(r, 3)
-        dc = itxfm.dc_only_residual(tiles[..., 0, 0], tx)
+        if hbd:
+            full = dw.round_residual(dw.itxfm_2d(tiles, 3, 0), 3)
+            dc = dw.dc_only_residual(tiles[..., 0, 0], tx)
+        else:
+            r = itxfm.itxfm_2d(jnp, tiles, 3, 0, bpp)
+            full = itxfm.round_residual(r, 3)
+            dc = itxfm.dc_only_residual(tiles[..., 0, 0], tx)
         res = jnp.where((roots_eob == 1)[..., None, None],
                         dc[..., None, None], full)
     else:
         # pass a (columns) both variants, select per tile
-        blk_t = tiles.swapaxes(-1, -2)
-        wrap = itxfm._wrap16 if bpp == 8 else itxfm._wrap32
-        fa_d = itxfm._1D[(tx, "dct")]
-        fa_a = itxfm._1D[(tx, "adst")]
         use_adst_a = ((roots_tp == 1) | (roots_tp == 3))[..., None, None]
-        tmp = wrap(jnp.where(use_adst_a, fa_a(jnp, blk_t), fa_d(jnp, blk_t)))
-        tmp_t = tmp.swapaxes(-1, -2)
         use_adst_b = ((roots_tp == 2) | (roots_tp == 3))[..., None, None]
-        r = wrap(jnp.where(use_adst_b, fa_a(jnp, tmp_t), fa_d(jnp, tmp_t)))
-        full = itxfm.round_residual(r.swapaxes(-1, -2), tx)
-        dc = itxfm.dc_only_residual(tiles[..., 0, 0], tx)
+        if hbd:
+            r = dw.itxfm_2d_select(tiles, use_adst_a, use_adst_b, tx)
+            full = dw.round_residual(r, tx)
+            dc = dw.dc_only_residual(tiles[..., 0, 0], tx)
+        else:
+            blk_t = tiles.swapaxes(-1, -2)
+            wrap = itxfm._wrap16
+            fa_d = itxfm._1D[(tx, "dct")]
+            fa_a = itxfm._1D[(tx, "adst")]
+            tmp = wrap(jnp.where(use_adst_a, fa_a(jnp, blk_t),
+                                 fa_d(jnp, blk_t)))
+            tmp_t = tmp.swapaxes(-1, -2)
+            r = wrap(jnp.where(use_adst_b, fa_a(jnp, tmp_t),
+                               fa_d(jnp, tmp_t)))
+            full = itxfm.round_residual(r.swapaxes(-1, -2), tx)
+            dc = itxfm.dc_only_residual(tiles[..., 0, 0], tx)
         dc_ok = (roots_eob == 1) & (roots_tp == 0)
         res = jnp.where(dc_ok[..., None, None], dc[..., None, None], full)
 
@@ -98,7 +116,7 @@ def residual_plane(coef, eob4, txsz4, txtype4, lossless, bpp):
     if lossless:
         return _residual_for_size(coef, eob4, txsz4, txtype4, 0, True, bpp,
                                   *coef.shape)
-    out = jnp.zeros(coef.shape, jnp.int32 if bpp == 8 else jnp.int64)
+    out = jnp.zeros(coef.shape, jnp.int32)
     for tx in range(4):
         out = out + _residual_for_size(coef, eob4, txsz4, txtype4, tx,
                                        False, bpp, *coef.shape)
@@ -359,9 +377,14 @@ def _intra_batch_apply(plane, residual, d, sz, bpp):
     e = jnp.where(d["emask"], d["econst"], flat[d["eidx"]])
     Wall = jnp.asarray(it.build_all(sz), jnp.float32)  # [15, ne, P]
     Wsel = Wall[d["modes"]]
+    # 8-bit edge pixels are exactly representable in bf16 (8-bit
+    # mantissa), so the MXU default precision is exact; 10/12-bit
+    # pixels are not — force full-f32 multiplies there
+    prec = jax.lax.Precision.HIGHEST if bpp > 8 else None
     pred = jnp.floor((jnp.einsum(
         "ne,nep->np", e.astype(jnp.float32), Wsel,
-        preferred_element_type=jnp.float32) + 32) / 64).astype(jnp.int32)
+        preferred_element_type=jnp.float32, precision=prec) + 32)
+        / 64).astype(jnp.int32)
     pred = pred.reshape(-1, sz, sz)
     # TM special: clip(top[x] + left[sz-1-y] - tl)
     ta = 2 * sz if sz == 4 else sz
@@ -659,24 +682,42 @@ def _scatter_pairs16(pv, H, W):
     return out.reshape(H, W)
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def _scatter_pairs32(pv, H, W):
+    """Wide variant for 10/12-bit dctcoefs (int32 values shipped as hi/lo
+    int16 halves): rows are (pos-hi, pos-lo, val-hi, val-lo)."""
+    pos = ((pv[:, 0].astype(jnp.int32) << 16)
+           | (pv[:, 1].astype(jnp.int32) & 0xffff))
+    pos = jnp.where(pos < 0, jnp.int32(1 << 30), pos)
+    val = ((pv[:, 2].astype(jnp.int32) << 16)
+           | (pv[:, 3].astype(jnp.int32) & 0xffff))
+    out = jnp.zeros((H * W,), jnp.int32).at[pos].set(val, mode="drop")
+    return out.reshape(H, W)
+
+
 def _fill_pairs(out, pos, val, n):
     out[:n, 0] = pos >> 16
     out[:n, 1] = pos & 0xffff
-    out[:n, 2] = val
+    if out.shape[1] == 4:
+        out[:n, 2] = val >> 16
+        out[:n, 3] = val & 0xffff
+    else:
+        out[:n, 2] = val
 
 
-def _pack_coef_host(coef, eob4, txg):
+def _pack_coef_host(coef, eob4, txg, wide=False):
     """Pack the plane's nonzero dequantized coefficients and the eob
     grid as (position, value) int16 triples. The walk is eob-driven
     (only coded tx blocks' areas are read), so stale pooled-buffer
     content is never shipped. A 1080p keyframe ships ~1.5MB instead of
     6.5MB of 32x32 tiles; skip-heavy inter frames ship a few KB."""
     H, W = coef.shape
+    ncols = 4 if wide else 3
     from ..passa_native import count_pairs_native, pack_pairs_native
     counts = count_pairs_native(coef, eob4, txg)
     if counts is not None:
         nc, ne = counts
-        cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), 3),
+        cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), ncols),
                       np.int16)
         ep = np.zeros((_pad_to_bucket(ne + 1, base=256, mult=2), 3),
                       np.int16)
@@ -690,7 +731,7 @@ def _pack_coef_host(coef, eob4, txg):
     pos = (py * W + px).astype(np.int64)
     val = coef[py, px]
     nc = len(pos)
-    cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), 3),
+    cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), ncols),
                   np.int16)
     cp[:, 0] = -1
     _fill_pairs(cp, pos, val, nc)
@@ -705,11 +746,11 @@ def _pack_coef_host(coef, eob4, txg):
 
 
 def _needs_golden_fallback(s):
-    """Scaled-reference and high-bit-depth frames fall back to the
-    golden path this round (10/12-bit transforms need int64
-    intermediates, which jnp silently truncates without x64 mode)."""
-    return (any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
-            or s.header.bpp > 8)
+    """Scaled-reference frames fall back to the golden path this round
+    (per-pixel fractional stepping; rare — dynamic-resize transitions).
+    10/12-bit runs natively: ops/dw gives exact int64 transform
+    semantics on the int32 VPU."""
+    return any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
 
 
 def precompute_host(s):
@@ -730,7 +771,8 @@ def precompute_host(s):
             coef = (s.coef_y, s.coef_u, s.coef_v)[plane_idx]
             eob4 = (s.eob_y, s.eob_u, s.eob_v)[plane_idx]
             txg = s.txsz4 if plane_idx == 0 else s.uvtx4
-            pre["pairs"][plane_idx] = _pack_coef_host(coef, eob4, txg)
+            pre["pairs"][plane_idx] = _pack_coef_host(
+                coef, eob4, txg, wide=h.bpp > 8)
     if h.filter_level and getattr(s, "use_native", False):
         try:
             from ..passa_native import lpf_record_native
@@ -804,8 +846,10 @@ def recon_frame(s):
                 cp, ep = pre["pairs"][plane_idx]
             else:
                 txg = s.txsz4 if plane_idx == 0 else s.uvtx4
-                cp, ep = _pack_coef_host(coef, eob4, txg)
-            coef_dev = _scatter_pairs16(jnp.asarray(cp), *coef.shape)
+                cp, ep = _pack_coef_host(coef, eob4, txg, wide=bpp > 8)
+            scat = _scatter_pairs32 if cp.shape[1] == 4 \
+                else _scatter_pairs16
+            coef_dev = scat(jnp.asarray(cp), *coef.shape)
             eob_dev = _scatter_pairs16(jnp.asarray(ep), *eob4.shape)
 
         if has_inter_frame:

@@ -392,7 +392,9 @@ def pack_pairs_native(coef, eob4, txg, cp_out, ep_out) -> bool:
     if not available():
         return False
     r4, c4 = eob4.shape
-    rc = lib().vp9_pack_pairs(
+    fn = (lib().vp9_pack_pairs_wide if cp_out.shape[1] == 4
+          else lib().vp9_pack_pairs)
+    rc = fn(
         _p(coef, i32p), C.c_int(coef.shape[1]),
         _p(eob4, i32p), _p(txg, i8p), C.c_int(r4), C.c_int(c4),
         _p(cp_out, i16p), C.c_int(cp_out.shape[0]),

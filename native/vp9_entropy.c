@@ -592,6 +592,52 @@ int vp9_count_pairs(const int32_t *coef, int W,
     return 0;
 }
 
+/* Wide variant for 10/12-bit planes: dequantized dctcoefs are int32
+ * there (reference: bit_depth_template.c dctcoef=int32_t), so values
+ * ship as (hi, lo) int16 halves -> rows of (poshi, poslo, valhi,
+ * vallo). */
+int vp9_pack_pairs_wide(const int32_t *coef, int W,
+                        const int32_t *eob4, const int8_t *txsz4,
+                        int r4, int c4,
+                        int16_t *coef_out /* [capc][4] */, int capc,
+                        int16_t *eob_out /* [cape][3] */, int cape)
+{
+    int nc = 0, ne = 0;
+    for (int r = 0; r < r4; r++) {
+        for (int c = 0; c < c4; c++) {
+            int eob = eob4[(int64_t)r * c4 + c];
+            if (!eob)
+                continue;
+            if (ne >= cape)
+                return -1;
+            int32_t cell = r * c4 + c;
+            eob_out[ne * 3 + 0] = (int16_t)(cell >> 16);
+            eob_out[ne * 3 + 1] = (int16_t)(cell & 0xffff);
+            eob_out[ne * 3 + 2] = (int16_t)eob;
+            ne++;
+            int sz = 4 << txsz4[(int64_t)r * c4 + c];
+            const int32_t *p = coef + (int64_t)r * 4 * W + (int64_t)c * 4;
+            int64_t base = (int64_t)r * 4 * W + (int64_t)c * 4;
+            for (int y = 0; y < sz; y++) {
+                for (int x = 0; x < sz; x++) {
+                    int32_t v = p[(int64_t)y * W + x];
+                    if (!v)
+                        continue;
+                    if (nc >= capc)
+                        return -1;
+                    int32_t pos = (int32_t)(base + (int64_t)y * W + x);
+                    coef_out[nc * 4 + 0] = (int16_t)(pos >> 16);
+                    coef_out[nc * 4 + 1] = (int16_t)(pos & 0xffff);
+                    coef_out[nc * 4 + 2] = (int16_t)(v >> 16);
+                    coef_out[nc * 4 + 3] = (int16_t)(v & 0xffff);
+                    nc++;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
 int vp9_pack_pairs(const int32_t *coef, int W,
                    const int32_t *eob4, const int8_t *txsz4,
                    int r4, int c4,

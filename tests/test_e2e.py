@@ -36,7 +36,9 @@ MINI = ["mini_gray_64", "mini_gray_130x70", "mini_gray10_128x72",
         "mini_intraonly", "mini_inter", "mini_scaled",
         "mini_444_64", "mini_422_64", "mini_440_64", "mini_422_98x66",
         "mini_444_12_64", "mini_422_10_64",
-        "mini_seg_128x72", "mini_seg_130x70"]
+        "mini_seg_128x72", "mini_seg_130x70",
+        "mini_rand_130x70", "mini_rand10_96x64", "mini_rand10_tx4_64",
+        "mini_rand12_130x70", "mini_rand12_444_64", "mini_rand_252q_64"]
 
 
 @pytest.mark.parametrize("name", INTRA)

@@ -14,7 +14,12 @@ VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
 @pytest.mark.parametrize("name", ["intra_64", "intra_66x66", "intra_98x66",
                                   "inter_64_5f", "inter_130x98_8f",
                                   "inter_grad_8f", "mini_lossless_64",
-                                  "mini_lossless12_64"])
+                                  "mini_lossless12_64",
+                                  "mini_rand_130x70", "mini_rand10_96x64",
+                                  "mini_rand10_tx4_64",
+                                  "mini_rand12_130x70",
+                                  "mini_rand12_444_64",
+                                  "mini_rand_252q_64"])
 def test_tpu_backend_conformance(name):
     ivf = os.path.join(VEC_DIR, name + ".ivf")
     if not os.path.exists(ivf):

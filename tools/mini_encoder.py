@@ -129,7 +129,7 @@ def _finish(hdr, chdr, tile):
 
 class CoeffEncoder:
     """Mirror of the decoder's coefficient loop (blockdec.py
-    decode_coeffs_block) for TX_4X4 tokens."""
+    decode_coeffs_block) for any tx size's tokens."""
 
     BAND_COUNTS = [1, 2, 3, 4, 3, 3, 0, 0]
 
@@ -137,15 +137,17 @@ class CoeffEncoder:
         self.t = t
         self.bpp = bpp
 
-    def encode_block(self, vals, probs11, nnz, scan, nb):
-        """vals: int [4][4] raster tokens. Returns eob."""
+    def encode_block(self, vals, probs11, nnz, scan, nb, n=16,
+                     band_counts=None):
+        """vals: int [sz][sz] raster tokens. Returns eob."""
         t = self.t
+        bc = self.BAND_COUNTS if band_counts is None else band_counts
         flat = vals.reshape(-1)
-        nzpos = [i for i in range(16) if flat[scan[i]]]
+        nzpos = [i for i in range(n) if flat[scan[i]]]
         eob = (nzpos[-1] + 1) if nzpos else 0
-        cache = np.zeros(16, np.int64)
+        cache = np.zeros(n, np.int64)
         band = 0
-        band_left = self.BAND_COUNTS[0]
+        band_left = bc[0]
         tp = probs11[0][nnz]
         i = 0
         while i < eob:
@@ -155,7 +157,7 @@ class CoeffEncoder:
                 band_left -= 1
                 if not band_left:
                     band += 1
-                    band_left = self.BAND_COUNTS[band]
+                    band_left = bc[band]
                 cache[scan[i]] = 0
                 nnz = (1 + cache[nb[i][0]] + cache[nb[i][1]]) >> 1
                 tp = probs11[min(band, 5)][nnz]
@@ -230,14 +232,14 @@ class CoeffEncoder:
             band_left -= 1
             if not band_left:
                 band += 1
-                band_left = self.BAND_COUNTS[band]
+                band_left = bc[band]
             t.put(1 if v < 0 else 0, 128)  # sign
             i += 1
-            if i >= 16:
+            if i >= n:
                 break
             nnz = (1 + cache[nb[i - 1][0]] + cache[nb[i - 1][1]]) >> 1
             tp = probs11[min(band, 5)][nnz]
-        if eob < 16:
+        if eob < n:
             t.put(0, int(tp[0]))  # end of block
         return eob
 
@@ -245,7 +247,8 @@ class CoeffEncoder:
 SEG_TREE_PROBS = [128] * 7
 
 
-def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False):
+def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
+                 yac_qi=0, filter_level=0):
     """Uncompressed header bits up to (excl.) the compressed header size
     field. Keyframe, or an invisible intra-only frame (refreshing slot
     0). Lossless, no segmentation, single tile. Non-4:2:0 subsampling
@@ -289,11 +292,11 @@ def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False):
     gb.put(0, 1)                   # frame_parallel_decoding_mode
     gb.put(0, 2)                   # frame_context_idx
     # loop filter
-    gb.put(0, 6)                   # level
+    gb.put(filter_level, 6)        # level
     gb.put(0, 3)                   # sharpness
     gb.put(0, 1)                   # lf delta enabled
-    # quant: lossless
-    gb.put(0, 8)                   # yac_qi
+    # quant (yac_qi == 0 with zero deltas -> lossless)
+    gb.put(yac_qi, 8)              # yac_qi
     gb.put(0, 1)
     gb.put(0, 1)
     gb.put(0, 1)
@@ -578,6 +581,210 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
     return _finish(hdr, chdr, t.bytes())
 
 
+def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
+                           filter_level=24, ss_h=1, ss_v=1):
+    """Lossy keyframe with pseudo-random (but fully legal) syntax:
+    random partitions, all 10 intra modes, random coefficient tokens at
+    every tx size txfmmode allows, random skip flags, and a nonzero
+    loop-filter level. Content is irrelevant for conformance — the
+    oracle decodes the same bits — so no forward transform is needed;
+    this exercises the decoder's dequant (vp9data.c qlookup), DCT/ADST
+    at every size (incl. the int64 high-bit-depth semantics), all intra
+    edge cases, and the loop filter."""
+    from ffmpeg_hybrid_tpu.codecs.vp9.probs import coef_full
+    from ffmpeg_hybrid_tpu.codecs.vp9.blockdec import (
+        BAND_COUNTS, MAX_TX_FOR_BL_BP, TileDecoder)
+
+    rng = np.random.RandomState(seed)
+    sb_cols = (w + 63) >> 6
+    sb_rows = (h + 63) >> 6
+    cols = (w + 7) >> 3
+    rows = (h + 7) >> 3
+
+    gbs = _header_bits(w, h, bpp, ss_h=ss_h, ss_v=ss_v, yac_qi=yac_qi,
+                       filter_level=filter_level)
+    c = BoolEncoder()
+    c.put(0, 128)                       # marker
+    c.put((txfmmode >> 1) & 1, 128)     # txfmmode (2-bit literal)
+    c.put(txfmmode & 1, 128)
+    if txfmmode == 3:
+        c.put(0, 128)                   # not switchable
+    for i in range(4):
+        c.put(0, 128)                   # no coef prob updates for tx i
+        if txfmmode == i:
+            break
+    for _ in range(3):
+        c.put(0, 252)                   # skip probs unchanged
+    chdr = c.bytes()
+    gbs.put(len(chdr), 16)
+    hdr = gbs.bytes()
+
+    t = BoolEncoder()
+    t.put(0, 128)
+    kf_part = T.DEFAULT_KF_PARTITION_PROBS
+    ptree = T.PARTITION_TREE
+    imtree = T.INTRAMODE_TREE
+    coef11 = coef_full(T.DEFAULT_COEF_PROBS)
+    ce = CoeffEncoder(t, bpp)
+    from ffmpeg_hybrid_tpu.codecs.vp9.blockdec import ABOVE_CTX, LEFT_CTX
+
+    above_part = np.zeros(sb_cols * 8, np.uint8)
+    above_skip = np.zeros(sb_cols * 8, np.uint8)
+    above_mode = np.full(sb_cols * 16, 2, np.uint8)   # DC_PRED
+    a_ynnz = np.zeros(sb_cols * 16, np.uint8)
+    a_uvnnz = np.zeros((2, sb_cols * 16), np.uint8)
+    left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8),
+            "mode": np.full(16, 2, np.uint8),
+            "ynnz": np.zeros(16, np.uint8),
+            "uvnnz": np.zeros((2, 16), np.uint8)}
+
+    def rand_tokens(sz):
+        n = sz * sz
+        vals = np.zeros(n, np.int64)
+        density = rng.choice([0.0, 0.02, 0.1, 0.5, 1.0],
+                             p=[0.1, 0.2, 0.3, 0.3, 0.1])
+        k = int(n * density * rng.rand())
+        if k:
+            pos = rng.choice(n, size=k, replace=False)
+            mag = rng.choice(
+                [1, 2, 3, 4, 6, 9, 15, 25, 40, 70, 200, 900], size=k,
+                p=[.3, .15, .1, .1, .08, .07, .05, .05, .04, .03, .02,
+                   .01])
+            vals[pos] = mag * rng.choice([-1, 1], k)
+        return vals.reshape(sz, sz)
+
+    def enc_coeffs_plane(tx, scan, nb, probs11p, a_n, l_n, a0, l0,
+                         end_x, end_y, w4c, h4c):
+        """Mirrors decode_coeffs' per-plane walk (blockdec.py:929-955):
+        MERGE nnz ctx, per-tx-block token encode, SPLAT."""
+        step = 1 << tx
+        n = (4 << tx) * (4 << tx)
+        bc = BAND_COUNTS[tx]
+        if step > 1:
+            for nn in range(0, end_y, step):
+                l_n[l0 + nn] = int(l_n[l0 + nn:l0 + nn + step].any())
+            for nn in range(0, end_x, step):
+                a_n[a0 + nn] = int(a_n[a0 + nn:a0 + nn + step].any())
+        for y in range(0, end_y, step):
+            for x in range(0, end_x, step):
+                nnz = int(a_n[a0 + x]) + int(l_n[l0 + y])
+                eob = ce.encode_block(rand_tokens(4 << tx), probs11p,
+                                      nnz, scan, nb, n=n, band_counts=bc)
+                a_n[a0 + x] = l_n[l0 + y] = 1 if eob else 0
+        if step > 1:
+            TileDecoder._splat_nnz(a_n, a0, end_x, step, end_x == w4c)
+            TileDecoder._splat_nnz(l_n, l0, end_y, step, end_y == h4c)
+
+    def encode_block(r, ccol, bl, bp):
+        bs = bl * 3 + bp
+        row7 = r & 7
+        nw = int(T.BWH_TAB[1][bs][0])
+        nh = int(T.BWH_TAB[1][bs][1])
+        w4 = nw * 2                      # b4 units
+        h4 = nh * 2
+        skip = bool(rng.rand() < 0.15)
+        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+        t.put(1 if skip else 0, int(T.PROBS_SKIP[sctx]))
+        tx = min(MAX_TX_FOR_BL_BP[bs], txfmmode)
+        # y mode (kf tree, above/left mode ctx; >=8x8 path of
+        # vp9block.c:217-270)
+        a0m = ccol * 2
+        l0m = row7 * 2
+        ym = int(rng.randint(0, 10))
+        t.put_tree(imtree, T.DEFAULT_KF_YMODE_PROBS[
+            int(above_mode[a0m])][int(left["mode"][l0m])], ym)
+        above_mode[a0m:a0m + int(T.BWH_TAB[0][bs][0])] = ym
+        left["mode"][l0m:l0m + int(T.BWH_TAB[0][bs][1])] = ym
+        uvm = int(rng.randint(0, 10))
+        t.put_tree(imtree, T.DEFAULT_KF_UVMODE_PROBS[ym], uvm)
+        uvtx = tx - int((ss_h and nw * 2 == (1 << tx)) or
+                        (ss_v and nh * 2 == (1 << tx)))
+        if skip:
+            a_ynnz[ccol * 2:(ccol + nw) * 2] = 0
+            left["ynnz"][row7 * 2:(row7 + nh) * 2] = 0
+            if ss_h:
+                a_uvnnz[:, ccol:ccol + nw] = 0
+            else:
+                a_uvnnz[:, ccol * 2:(ccol + nw) * 2] = 0
+            if ss_v:
+                left["uvnnz"][:, row7:row7 + nh] = 0
+            else:
+                left["uvnnz"][:, row7 * 2:(row7 + nh) * 2] = 0
+        else:
+            end_x = min(2 * (cols - ccol), w4)
+            end_y = min(2 * (rows - r), h4)
+            txtp = int(T.INTRA_TXFM_TYPE[ym]) if tx < 3 else 0
+            enc_coeffs_plane(tx, T.SCANS[tx][txtp], T.SCANS_NB[tx][txtp],
+                             coef11[tx][0][0], a_ynnz, left["ynnz"],
+                             ccol * 2, row7 * 2, end_x, end_y, w4, h4)
+            end_xu = end_x >> ss_h
+            end_yu = end_y >> ss_v
+            for pl in range(2):
+                enc_coeffs_plane(
+                    uvtx, T.SCANS[uvtx][0], T.SCANS_NB[uvtx][0],
+                    coef11[uvtx][1][0], a_uvnnz[pl], left["uvnnz"][pl],
+                    ccol << (1 - ss_h), row7 << (1 - ss_v),
+                    end_xu, end_yu, w4 >> ss_h, h4 >> ss_v)
+        above_skip[ccol:ccol + nw] = 1 if skip else 0
+        above_part[ccol:ccol + nw] = ABOVE_CTX[bs]
+        left["skip"][row7:row7 + nh] = 1 if skip else 0
+        left["part"][row7:row7 + nh] = LEFT_CTX[bs]
+
+    def encode_sb(r, ccol, bl):
+        ctx = ((int(above_part[ccol]) >> (3 - bl)) & 1) |               (((int(left["part"][r & 7]) >> (3 - bl)) & 1) << 1)
+        p = kf_part[bl][ctx]
+        hbs = 4 >> bl
+        if bl == 3:
+            t.put_tree(ptree, p, 0)      # sub-8x8 not emitted
+            encode_block(r, ccol, bl, 0)
+        elif ccol + hbs < cols:
+            if r + hbs < rows:
+                bp = int(rng.choice([0, 1, 2, 3],
+                                    p=[0.45, 0.15, 0.15, 0.25]))
+                t.put_tree(ptree, p, bp)
+                if bp == 0:
+                    encode_block(r, ccol, bl, 0)
+                elif bp == 1:
+                    encode_block(r, ccol, bl, 1)
+                    encode_block(r + hbs, ccol, bl, 1)
+                elif bp == 2:
+                    encode_block(r, ccol, bl, 2)
+                    encode_block(r, ccol + hbs, bl, 2)
+                else:
+                    encode_sb(r, ccol, bl + 1)
+                    encode_sb(r, ccol + hbs, bl + 1)
+                    encode_sb(r + hbs, ccol, bl + 1)
+                    encode_sb(r + hbs, ccol + hbs, bl + 1)
+            else:
+                split = bool(rng.rand() < 0.5)
+                t.put(1 if split else 0, int(p[1]))
+                if split:
+                    encode_sb(r, ccol, bl + 1)
+                    encode_sb(r, ccol + hbs, bl + 1)
+                else:
+                    encode_block(r, ccol, bl, 1)
+        elif r + hbs < rows:
+            split = bool(rng.rand() < 0.5)
+            t.put(1 if split else 0, int(p[2]))
+            if split:
+                encode_sb(r, ccol, bl + 1)
+                encode_sb(r + hbs, ccol, bl + 1)
+            else:
+                encode_block(r, ccol, bl, 2)
+        else:
+            encode_sb(r, ccol, bl + 1)
+
+    for r in range(0, sb_rows * 8, 8):
+        left["part"][:] = 0
+        left["skip"][:] = 0
+        left["mode"][:] = 2
+        left["ynnz"][:] = 0
+        left["uvnnz"][:] = 0
+        for ccol in range(0, sb_cols * 8, 8):
+            encode_sb(r, ccol, 0)
+    return _finish(hdr, chdr, t.bytes())
+
+
 def main():
     import subprocess
     from ffmpeg_hybrid_tpu.formats.ivf import write_ivf
@@ -649,6 +856,33 @@ def main():
         with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
             fh.write(out.stdout)
         print(name, f"{w}x{h}@{bpp}bit ss_h={ss_h} ss_v={ss_v}")
+
+    # random-syntax lossy keyframes: every tx size (DCT/ADST), all
+    # intra modes, random skip, loop filter on — incl. high bit depth
+    rand_specs = [
+        ("mini_rand_130x70", 130, 70, 8, 3, 1, 0, 60, 24, 0),
+        ("mini_rand10_96x64", 96, 64, 10, 3, 1, 1, 80, 32, 1),
+        ("mini_rand10_tx4_64", 64, 64, 10, 0, 1, 1, 120, 18, 2),
+        ("mini_rand12_130x70", 130, 70, 12, 3, 1, 1, 90, 40, 3),
+        ("mini_rand12_444_64", 64, 64, 12, 2, 0, 0, 50, 10, 4),
+        ("mini_rand_252q_64", 64, 64, 8, 3, 1, 1, 252, 63, 5),
+    ]
+    for (name, w, h, bpp, txm, ssh, ssv, qi, flt, seed) in rand_specs:
+        pkt = encode_keyframe_random(w, h, bpp, seed=seed, txfmmode=txm,
+                                     yac_qi=qi, filter_level=flt,
+                                     ss_h=ssh, ss_v=ssv)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1, [(0, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode != 0:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+            continue
+        with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+            fh.write(out.stdout)
+        print(name, f"{w}x{h}@{bpp}bit txm={txm} qi={qi} lf={flt}")
 
     # segmentation: explicit seg map, segment 1 with the SKIP feature
     # (checkerboard of coded / skip-forced superblocks)
