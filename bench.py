@@ -20,8 +20,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-VEC = os.path.join(ROOT, "vectors", "bench_1080p.ivf")
-REF = os.path.join(ROOT, "vectors", "bench_1080p.framemd5")
+# BENCH_VEC=bench_4k selects the 4K 8-tile-column clip (BASELINE
+# config 4); default is the 1080p 4-tile clip the targets quote.
+_NAME = os.environ.get("BENCH_VEC", "bench_1080p")
+VEC = os.path.join(ROOT, "vectors", _NAME + ".ivf")
+REF = os.path.join(ROOT, "vectors", _NAME + ".framemd5")
 
 
 def main():
@@ -102,7 +105,8 @@ def main():
     if not bitexact:
         fps = 0.0  # a wrong decode doesn't count
     print(json.dumps({
-        "metric": "vp9_decode_1080p_fps_per_chip",
+        "metric": ("vp9_decode_4k_fps_per_chip" if _NAME == "bench_4k"
+                   else "vp9_decode_1080p_fps_per_chip"),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),

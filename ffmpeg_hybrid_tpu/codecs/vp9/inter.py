@@ -56,22 +56,18 @@ def inter_recon_block(s, row, col, b):
     py_uv = py_y >> ss_v
     px_uv = px_y >> ss_h
 
+    if scaled:
+        _inter_recon_scaled_block(s, row, col, b, fr1, fr2)
+        _inter_residual(s, row, col, b)
+        return
+
     def luma(dy, dx, refy, refx, mv, bw, bh, fr, avg):
-        if scaled:
-            _scaled_mc_luma(s, cur.planes[0], py_y + dy, px_y + dx, fr,
-                            refy, refx, bw, bh, mv, b, avg, bpp)
-        else:
-            w1, h1 = fr.size
-            mc.mc_unscaled(cur.planes[0], py_y + dy, px_y + dx,
-                           fr.planes[0], refy, refx, bw, bh,
-                           mv[0] * 2, mv[1] * 2, w1, h1, b.filter, avg, bpp)
+        w1, h1 = fr.size
+        mc.mc_unscaled(cur.planes[0], py_y + dy, px_y + dx,
+                       fr.planes[0], refy, refx, bw, bh,
+                       mv[0] * 2, mv[1] * 2, w1, h1, b.filter, avg, bpp)
 
     def chroma(dy, dx, refy, refx, mv, bw, bh, fr, avg):
-        if scaled:
-            _scaled_mc_chroma(s, cur.planes[1], cur.planes[2],
-                              py_uv + dy, px_uv + dx, fr, refy, refx,
-                              bw, bh, mv, b, avg, bpp)
-            return
         w1, h1 = fr.size
         w1 = (w1 + ss_h) >> ss_h
         h1 = (h1 + ss_v) >> ss_v
@@ -152,7 +148,15 @@ def inter_recon_block(s, row, col, b):
             luma(0, 0, py_y, px_y, b.mv[0][ri], bw, bh, fr, ri)
             chroma(0, 0, py_uv, px_uv, b.mv[0][ri], uvbw, uvbh, fr, ri)
 
-    # residual add (reference: vp9recon.c:707-763)
+    _inter_residual(s, row, col, b)
+
+
+def _inter_residual(s, row, col, b):
+    """residual add (reference: vp9recon.c:707-763)."""
+    h = s.header
+    bpp = h.bpp
+    ss_h, ss_v = h.ss_h, h.ss_v
+    cur = s.cur_frame_obj
     if not b.skip:
         maxp = (1 << bpp) - 1
         w4 = int(T.BWH_TAB[1, b.bs, 0]) << 1
@@ -196,38 +200,42 @@ def inter_recon_block(s, row, col, b):
                                                                 maxp)
 
 
-def _scaled_mc_luma(s, dst, py, px, fr, refy, refx, bw, bh, mv, b, avg,
-                    bpp):
-    """reference: mc_luma_scaled (vp9recon.c:492-560)."""
-    h = s.header
+def _scaled_axis(mv, a0, scale, ss, b0, span, n8):
+    """One axis of the scaled-MC start position: MV clamp against the
+    parent block (b0 = block corner, span = block span in this plane's
+    px, n8 = frame b8 count), then the 14-bit scaled total in 1/16
+    units — with the libvpx-820 formula on subsampled axes.
+    reference: mc_luma_scaled vp9recon.c:505-518, mc_chroma_scaled
+    :574-589. Returns (integer source start, 1/16 phase)."""
+    if ss:
+        mv = min(max(mv, -(b0 + span + 4) * 16), (n8 * 4 - b0 + 3) * 16)
+        total = ((mv * scale >> 14) + ((a0 * scale >> 10) & ~15)
+                 + ((a0 * scale >> 9) & 15))
+    else:
+        mv = min(max(mv, -(b0 + span + 4) * 8), (n8 * 8 - b0 + 3) * 8)
+        total = (mv * 2 * scale >> 14) + (a0 * scale >> 10)
+    return total >> 4, total & 0xF
+
+
+def _scaled_mc_luma(s, dst, py, px, fr, mv, bw, bh, bx, by, pw, ph, b,
+                    avg, bpp):
+    """reference: mc_luma_scaled (vp9recon.c:492-560). (py, px): call
+    corner (dst == ref-position coords); (bx, by, pw, ph): parent block
+    corner/span for the MV clamp."""
     ref_idx = b.ref[1] if avg else b.ref[0]
     scale = s.mvscale[ref_idx]
     step = s.mvstep[ref_idx]
     w1, h1 = fr.size
-    y = refy
-    x = refx
-    # 14-bit fixed point scaled start (libvpx rounding kept)
-    refbw_m1 = bw - 1
-    refbh_m1 = bh - 1
-    # orig position in ref scale
-    ox = px  # NOTE: positions are the same as dst position here
-    oy = py
-    # mv scaling (reference :516-520)
-    mx = (mv[0] * 2 * scale[0] >> 14) + ((x * scale[0] >> 10) & 0xF)
-    my = (mv[1] * 2 * scale[1] >> 14) + ((y * scale[1] >> 10) & 0xF)
-    sy = y * scale[1] >> 14
-    sx = x * scale[0] >> 14
-    sy += my >> 4
-    sx += mx >> 4
-    mx &= 0xF
-    my &= 0xF
+    sx, mx = _scaled_axis(mv[0], px, scale[0], 0, bx, pw, s.cols)
+    sy, my = _scaled_axis(mv[1], py, scale[1], 0, by, ph, s.rows)
     mc.mc_scaled(dst, py, px, fr.planes[0], sy, sx, bw, bh, mx, my,
                  step[0], step[1], w1, h1, b.filter, avg, bpp)
 
 
-def _scaled_mc_chroma(s, dst_u, dst_v, py, px, fr, refy, refx, bw, bh, mv,
-                      b, avg, bpp):
-    """reference: mc_chroma_scaled (vp9recon.c:562-628)."""
+def _scaled_mc_chroma(s, dst_u, dst_v, py, px, fr, mv, bw, bh, bx, by,
+                      pw, ph, b, avg, bpp):
+    """reference: mc_chroma_scaled (vp9recon.c:562-628). Coordinates and
+    clamp geometry in chroma px."""
     h = s.header
     ref_idx = b.ref[1] if avg else b.ref[0]
     scale = s.mvscale[ref_idx]
@@ -235,21 +243,85 @@ def _scaled_mc_chroma(s, dst_u, dst_v, py, px, fr, refy, refx, bw, bh, mv,
     w1, h1 = fr.size
     w1 = (w1 + h.ss_h) >> h.ss_h
     h1 = (h1 + h.ss_v) >> h.ss_v
-    y, x = refy, refx
-    if h.ss_h:
-        mx = (mv[0] * scale[0] >> 14) + ((x * scale[0] >> 10) & 0xF)
-        sx = (x * scale[0] >> 14) + (mx >> 4)
-    else:
-        mx = (mv[0] * 2 * scale[0] >> 14) + ((x * scale[0] >> 10) & 0xF)
-        sx = (x * scale[0] >> 14) + (mx >> 4)
-    if h.ss_v:
-        my = (mv[1] * scale[1] >> 14) + ((y * scale[1] >> 10) & 0xF)
-        sy = (y * scale[1] >> 14) + (my >> 4)
-    else:
-        my = (mv[1] * 2 * scale[1] >> 14) + ((y * scale[1] >> 10) & 0xF)
-        sy = (y * scale[1] >> 14) + (my >> 4)
-    mx &= 0xF
-    my &= 0xF
+    sx, mx = _scaled_axis(mv[0], px, scale[0], h.ss_h, bx, pw, s.cols)
+    sy, my = _scaled_axis(mv[1], py, scale[1], h.ss_v, by, ph, s.rows)
     for dplane, rplane in ((dst_u, fr.planes[1]), (dst_v, fr.planes[2])):
         mc.mc_scaled(dplane, py, px, rplane, sy, sx, bw, bh, mx, my,
                      step[0], step[1], w1, h1, b.filter, avg, bpp)
+
+
+def _inter_recon_scaled_block(s, row, col, b, fr1, fr2):
+    """Scaled-reference MC call structure (vp9_mc_template.c SCALED==1):
+    every sub-8x8 block is four 4x4 luma quadrant calls, chroma is
+    quadrant-split along non-subsampled axes, and each call anchors the
+    fractional stepping at its own corner."""
+    h = s.header
+    bpp = h.bpp
+    ss_h, ss_v = h.ss_h, h.ss_v
+    cur = s.cur_frame_obj
+    py_y, px_y = row * 8, col * 8
+    py_uv, px_uv = py_y >> ss_v, px_y >> ss_h
+
+    def luma(dy, dx, mv, bw, bh, pw, ph, fr, avg):
+        if s.mvscale[b.ref[1] if avg else b.ref[0]][0] == 0:
+            w1, h1 = fr.size
+            mc.mc_unscaled(cur.planes[0], py_y + dy, px_y + dx,
+                           fr.planes[0], py_y + dy, px_y + dx, bw, bh,
+                           mv[0] * 2, mv[1] * 2, w1, h1, b.filter, avg,
+                           bpp)
+        else:
+            _scaled_mc_luma(s, cur.planes[0], py_y + dy, px_y + dx, fr,
+                            mv, bw, bh, px_y, py_y, pw, ph, b, avg, bpp)
+
+    def chroma(dy, dx, mv, bw, bh, pw, ph, fr, avg):
+        if s.mvscale[b.ref[1] if avg else b.ref[0]][0] == 0:
+            w1, h1 = fr.size
+            w1 = (w1 + ss_h) >> ss_h
+            h1 = (h1 + ss_v) >> ss_v
+            for p in (1, 2):
+                mc.mc_unscaled(cur.planes[p], py_uv + dy, px_uv + dx,
+                               fr.planes[p], py_uv + dy, px_uv + dx,
+                               bw, bh, mv[0] * (1 << (1 - ss_h)),
+                               mv[1] * (1 << (1 - ss_v)), w1, h1,
+                               b.filter, avg, bpp)
+        else:
+            _scaled_mc_chroma(s, cur.planes[1], cur.planes[2],
+                              py_uv + dy, px_uv + dx, fr, mv, bw, bh,
+                              px_uv, py_uv, pw, ph, b, avg, bpp)
+
+    if b.bs > 9:  # sub-8x8: four 4x4 quadrant calls
+        for ri in range(2 if b.comp else 1):
+            fr = fr1 if ri == 0 else fr2
+            for q, (dy, dx) in enumerate(((0, 0), (0, 4), (4, 0),
+                                          (4, 4))):
+                luma(dy, dx, b.mv[q][ri], 4, 4, 8, 8, fr, ri)
+            m = [b.mv[q][ri] for q in range(4)]
+            if ss_v:
+                if ss_h:
+                    chroma(0, 0, _avg_mv4(*m), 4, 4, 4, 4, fr, ri)
+                else:
+                    chroma(0, 0, _avg_mv2(m[0], m[2]), 4, 4, 8, 4,
+                           fr, ri)
+                    chroma(0, 4, _avg_mv2(m[1], m[3]), 4, 4, 8, 4,
+                           fr, ri)
+            else:
+                if ss_h:
+                    chroma(0, 0, _avg_mv2(m[0], m[1]), 4, 4, 4, 8,
+                           fr, ri)
+                    # BUG (kept): wrong sub-block index for the bottom
+                    # half (vp9_mc_template.c:392-399)
+                    chroma(4, 0, _avg_mv2(m[1], m[2]), 4, 4, 4, 8,
+                           fr, ri)
+                else:
+                    for q, (dy, dx) in enumerate(((0, 0), (0, 4),
+                                                  (4, 0), (4, 4))):
+                        chroma(dy, dx, m[q], 4, 4, 8, 8, fr, ri)
+    else:
+        bw = int(T.BWH_TAB[0, b.bs, 0]) * 4
+        bh = int(T.BWH_TAB[0, b.bs, 1]) * 4
+        uvbw = int(T.BWH_TAB[ss_h, b.bs, 0]) * 4
+        uvbh = int(T.BWH_TAB[ss_v, b.bs, 1]) * 4
+        for ri in range(2 if b.comp else 1):
+            fr = fr1 if ri == 0 else fr2
+            luma(0, 0, b.mv[0][ri], bw, bh, bw, bh, fr, ri)
+            chroma(0, 0, b.mv[0][ri], uvbw, uvbh, uvbw, uvbh, fr, ri)

@@ -184,6 +184,253 @@ def _mc_cells(refstack, mv16, refsel, comp, filt, inter_mask, w, h, bpp,
 
 
 # ---------------------------------------------------------------------------
+# scaled-reference MC (dynamic resize): per-pixel fractional stepping
+#
+# Reference: mc_luma_scaled / mc_chroma_scaled (vp9recon.c:492-628) and
+# do_scaled_8tap_c / do_scaled_bilin_c (vp9dsp_template.c:2363-2500).
+# In scaled mode the reference's MC call structure changes: every
+# sub-8x8 block becomes four 4x4 quadrant calls (vp9_mc_template.c
+# `#if SCALED == 0` guards), the MV is clamped against the parent
+# block's position, and with subsampling the phase uses the libvpx-820
+# formula. Phase stepping is anchored at each CALL's corner; the
+# per-pixel closed form of the C loop's accumulation is
+#   total(k) = mx0 + k*step;  offset(k) = total >> 4;  phase = total & 15
+# which lets every 4x4 cell be computed independently given its call
+# anchor. Each cell gathers a 16x16 source patch (worst case: step <=
+# 32 i.e. 2x downscale, so a cell spans <= 6 source px + 8 taps).
+
+
+def _mulshift14(a, b):
+    """Exact (a * b) >> 14 for |a| < 2**24, 0 <= b < 2**15 without
+    overflowing int32 (the reference casts to int64, vp9recon.c:508)."""
+    hi = a >> 16
+    lo = a & 0xFFFF
+    return hi * b * 4 + ((lo * b) >> 14)
+
+
+def _mc_ref_scaled(refstack, mvraw, refsel, filt, ay, ax, by, bx, pw, ph,
+                   scales, steps, refw, refh, cols, rows, bpp, ri,
+                   ss_x, ss_y):
+    """Scaled MC for one reference direction -> [r4, c4, 4, 4] int32.
+
+    mvraw: RAW 1/8-pel MV grid for this plane (mv4 / uvmv4).
+    ay/ax: per-cell call anchor (this plane's px); by/bx, pw/ph: parent
+    block corner and span (this plane's px) for the MV clamp.
+    scales/steps: [3, 2] per-ref-slot 14-bit scale factors and 1/16-pel
+    per-pixel steps; refw/refh: [3] visible plane dims per slot.
+    """
+    r4, c4 = refsel.shape[:2]
+    Hp, Wp = refstack.shape[1:]
+    ftab = jnp.asarray(_FTAB)
+    sel = refsel[:, :, ri]
+    scx = scales[sel, 0]
+    scy = scales[sel, 1]
+    stx = steps[sel, 0]
+    sty = steps[sel, 1]
+    w = refw[sel]
+    h = refh[sel]
+    mvx = mvraw[:, :, ri, 0].astype(jnp.int32)
+    mvy = mvraw[:, :, ri, 1].astype(jnp.int32)
+
+    # MV clamp (vp9recon.c:505-506 luma, :574-589 chroma; bounds use the
+    # parent block corner bx = x - px and span pw)
+    def clamp(mv, b0, span, n8, ss):
+        if ss:
+            lo = -(b0 + span + 4) * 16
+            hi = (n8 * 4 - b0 + 3) * 16
+        else:
+            lo = -(b0 + span + 4) * 8
+            hi = (n8 * 8 - b0 + 3) * 8
+        return jnp.clip(mv, lo, hi)
+
+    mvx = clamp(mvx, bx, pw, cols, ss_x)
+    mvy = clamp(mvy, by, ph, rows, ss_y)
+
+    # scaled start position + initial phase (14-bit fixed point,
+    # libvpx rounding; with subsampling the 820-bug formula)
+    def start(mv, a0, sc, ss):
+        if ss:
+            return (_mulshift14(mv, sc) + (((a0 * sc) >> 10) & ~15)
+                    + (((a0 * sc) >> 9) & 15))
+        return _mulshift14(mv * 2, sc) + ((a0 * sc) >> 10)
+
+    tx0 = start(mvx, ax, scx, ss_x)
+    ty0 = start(mvy, ay, scy, ss_y)
+    x0 = tx0 >> 4
+    y0 = ty0 >> 4
+    mx0 = tx0 & 15
+    my0 = ty0 & 15
+
+    # per-pixel totals within the cell (closed form of the C stepping)
+    cy4 = (jnp.arange(r4) * 4)[:, None, None]
+    cx4 = (jnp.arange(c4) * 4)[None, :, None]
+    j4 = jnp.arange(4)[None, None, :]
+    kx = cx4 + j4 - ax[:, :, None]          # pixel offset from call corner
+    ky = cy4 + j4 - ay[:, :, None]
+    txk = mx0[:, :, None] + kx * stx[:, :, None]
+    tyk = my0[:, :, None] + ky * sty[:, :, None]
+    offx = x0[:, :, None] + (txk >> 4)      # absolute source col per j
+    offy = y0[:, :, None] + (tyk >> 4)
+    phx = txk & 15
+    phy = tyk & 15
+
+    # 16x16 patch per cell, clamped to the ref's visible area
+    base_r = offy[:, :, 0] - 3
+    base_c = offx[:, :, 0] - 3
+    rows_i = jnp.clip(base_r[..., None] + jnp.arange(16), 0,
+                      h[..., None] - 1)
+    cols_i = jnp.clip(base_c[..., None] + jnp.arange(16), 0,
+                      w[..., None] - 1)
+    flat = refstack.reshape(-1)
+    idx = (sel[..., None, None] * (Hp * Wp)
+           + rows_i[..., :, None] * Wp + cols_i[..., None, :])
+    patch = flat[idx]                       # [r4, c4, 16, 16]
+
+    maxp = (1 << bpp) - 1
+    tapsx = ftab[filt[:, :, None], phx]     # [r4, c4, 4, 8]
+    tapsy = ftab[filt[:, :, None], phy]
+    relx = offx - offx[:, :, 0:1]           # [r4, c4, 4], 0..13
+    rely = offy - offy[:, :, 0:1]
+    # h-pass over all 16 patch rows -> tmp [r4, c4, 16, 4]
+    acc = jnp.zeros((r4, c4, 16, 4), jnp.int32)
+    for k in range(8):
+        ck = jnp.broadcast_to((relx + k)[:, :, None, :],
+                              (r4, c4, 16, 4))
+        acc = acc + tapsx[:, :, None, :, k] * jnp.take_along_axis(
+            patch, ck, axis=-1)
+    tmp = jnp.clip((acc + 64) >> 7, 0, maxp)
+    # v-pass with per-row phases -> [r4, c4, 4, 4]
+    acc = jnp.zeros((r4, c4, 4, 4), jnp.int32)
+    for t in range(8):
+        rk = jnp.broadcast_to((rely + t)[:, :, :, None], (r4, c4, 4, 4))
+        acc = acc + tapsy[:, :, :, t, None] * jnp.take_along_axis(
+            tmp, rk, axis=-2)
+    return jnp.clip((acc + 64) >> 7, 0, maxp)
+
+
+def _mc_one_ref_unscaled(refstack, mv16, refsel, filt, w, h, bpp, ri):
+    """One reference direction of _mc_cells (same math, per-slot clamp
+    dims passed as traced arrays) -> [r4, c4, 4, 4]."""
+    r4, c4 = refsel.shape[:2]
+    Hp, Wp = refstack.shape[1:]
+    cy = (jnp.arange(r4) * 4)[:, None]
+    cx = (jnp.arange(c4) * 4)[None, :]
+    ftab = jnp.asarray(_FTAB)
+    sel = refsel[:, :, ri]
+    mvx = mv16[:, :, ri, 0]
+    mvy = mv16[:, :, ri, 1]
+    iy = cy + (mvy >> 4)
+    ix = cx + (mvx >> 4)
+    mx = mvx & 15
+    my = mvy & 15
+    rows = jnp.clip(iy[..., None] + jnp.arange(-3, 8), 0,
+                    h[sel][..., None] - 1)
+    cols = jnp.clip(ix[..., None] + jnp.arange(-3, 8), 0,
+                    w[sel][..., None] - 1)
+    flat = refstack.reshape(-1)
+    idx = (sel[..., None, None] * (Hp * Wp) + rows[..., :, None] * Wp
+           + cols[..., None, :])
+    patch = flat[idx]
+    tapsx = ftab[filt, mx]
+    tapsy = ftab[filt, my]
+    maxp = (1 << bpp) - 1
+    acc = jnp.zeros(patch.shape[:2] + (11, 4), jnp.int32)
+    for k in range(8):
+        acc = acc + tapsx[..., k, None, None] * patch[..., :, k:k + 4]
+    tmp = jnp.clip((acc + 64) >> 7, 0, maxp)
+    acc = jnp.zeros(patch.shape[:2] + (4, 4), jnp.int32)
+    for k in range(8):
+        acc = acc + tapsy[..., k, None, None] * tmp[..., k:k + 4, :]
+    return jnp.clip((acc + 64) >> 7, 0, maxp)
+
+
+@partial(jax.jit, static_argnames=("bpp", "mvsx", "mvsy", "ss_x", "ss_y"))
+def _mc_cells_mixed(refstack, mvraw, refsel, comp, filt, ay, ax, by, bx,
+                    pw, ph, scales, steps, refw, refh, scale_nz, cols,
+                    rows, bpp, mvsx, mvsy, ss_x, ss_y):
+    """MC for frames with scaled references: per cell and per reference
+    direction, same-size refs take the unscaled path and resized refs
+    the scaled path (the reference's per-ref dispatch,
+    vp9recon.c:503-504 dims check)."""
+    mvraw = mvraw.astype(jnp.int32)
+    refsel = refsel.astype(jnp.int32)
+    filt = filt.astype(jnp.int32)
+    comp = comp.astype(bool)
+    mv16 = mvraw.at[..., 0].multiply(mvsx).at[..., 1].multiply(mvsy)
+
+    def one_ref(ri):
+        un = _mc_one_ref_unscaled(refstack, mv16, refsel, filt, refw,
+                                  refh, bpp, ri)
+        sc = _mc_ref_scaled(refstack, mvraw, refsel, filt, ay, ax, by,
+                            bx, pw, ph, scales, steps, refw, refh, cols,
+                            rows, bpp, ri, ss_x, ss_y)
+        use_sc = scale_nz[refsel[:, :, ri]]
+        return jnp.where(use_sc[..., None, None], sc, un)
+
+    p0 = one_ref(0)
+    p1 = one_ref(1)
+    out = jnp.where(comp[..., None, None], (p0 + p1 + 1) >> 1, p0)
+    r4, c4 = refsel.shape[:2]
+    return out.transpose(0, 2, 1, 3).reshape(r4 * 4, c4 * 4)
+
+
+@partial(jax.jit, static_argnames=("r4", "c4", "ss_h", "ss_v"))
+def _scaled_anchor_grids(recs, r4, c4, ss_h, ss_v):
+    """Per-cell call anchors and parent-block clamp geometry for the
+    scaled MC call structure (every sub-8x8 block = four 4x4 quadrant
+    calls; chroma quadrant-split only along non-subsampled axes)."""
+    recs = recs.astype(jnp.int32)
+    N = recs.shape[0]
+    row, col, bs = recs[:, 0], recs[:, 1], recs[:, 3]
+    valid = bs >= 0
+    bwh = jnp.asarray(np.asarray(T.BWH_TAB[1], np.int32))
+    bsc = jnp.clip(bs, 0, 12)
+    w4 = jnp.where(valid, bwh[bsc, 0] * 2, 0)
+    h4 = jnp.where(valid, bwh[bsc, 1] * 2, 0)
+    r0, c0 = row * 2, col * 2
+    dy = jnp.arange(16)
+    inb = ((dy[None, :, None] < h4[:, None, None])
+           & (dy[None, None, :] < w4[:, None, None]))
+    big = jnp.int32(1 << 20)
+    rr = jnp.where(inb, r0[:, None, None] + dy[None, :, None], big)
+    cc = jnp.where(inb, c0[:, None, None] + dy[None, None, :], big)
+    n = jnp.arange(N, dtype=jnp.int32)
+    bidx = jnp.full((r4, c4), -1, jnp.int32)
+    bidx = bidx.at[rr, cc].max(
+        jnp.broadcast_to(n[:, None, None], (N, 16, 16)), mode="drop")
+
+    sub8 = recs[bidx, 3] > 9
+    brow = recs[bidx, 0] * 8        # parent corner, luma px
+    bcol = recs[bidx, 1] * 8
+    celldy = (jnp.arange(r4)[:, None] - recs[bidx, 0] * 2) & 1
+    celldx = (jnp.arange(c4)[None, :] - recs[bidx, 1] * 2) & 1
+    ay = brow + jnp.where(sub8, celldy * 4, 0)
+    ax = bcol + jnp.where(sub8, celldx * 4, 0)
+    bsx = jnp.clip(recs[bidx, 3], 0, 12)
+    pw = bwh[bsx, 0] * 8            # parent span, luma px
+    ph = bwh[bsx, 1] * 8
+
+    # chroma (one entry per uv cell)
+    sv, sh = 1 << ss_v, 1 << ss_h
+    bidx_uv = bidx[::sv, ::sh]
+    sub8u = recs[bidx_uv, 3] > 9
+    browu = (recs[bidx_uv, 0] * 8) >> ss_v
+    bcolu = (recs[bidx_uv, 1] * 8) >> ss_h
+    r4u, c4u = r4 >> ss_v, c4 >> ss_h
+    udy = jnp.clip(jnp.arange(r4u)[:, None] - ((recs[bidx_uv, 0] * 2)
+                                               >> ss_v), 0, 1)
+    udx = jnp.clip(jnp.arange(c4u)[None, :] - ((recs[bidx_uv, 1] * 2)
+                                               >> ss_h), 0, 1)
+    ayu = browu + jnp.where(sub8u & (ss_v == 0), udy * 4, 0)
+    axu = bcolu + jnp.where(sub8u & (ss_h == 0), udx * 4, 0)
+    bsu = jnp.clip(recs[bidx_uv, 3], 0, 12)
+    pwu = (bwh[bsu, 0] * 8) >> ss_h
+    phu = (bwh[bsu, 1] * 8) >> ss_v
+    return (ay, ax, brow, bcol, pw, ph,
+            ayu, axu, browu, bcolu, pwu, phu)
+
+
+# ---------------------------------------------------------------------------
 # intra wavefront
 
 
@@ -746,11 +993,11 @@ def _pack_coef_host(coef, eob4, txg, wide=False):
 
 
 def _needs_golden_fallback(s):
-    """Scaled-reference frames fall back to the golden path this round
-    (per-pixel fractional stepping; rare — dynamic-resize transitions).
-    10/12-bit runs natively: ops/dw gives exact int64 transform
-    semantics on the int32 VPU."""
-    return any(sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
+    """Only frames with an invalid-scale reference (ref more than 2x /
+    16x off the frame size) fall back: the golden path raises the same
+    error the reference does if such a ref is actually used
+    (vp9recon.c:661-669)."""
+    return any(sc[0] == -1 for sc in getattr(s, "mvscale", [[0, 0]] * 3))
 
 
 def precompute_host(s):
@@ -822,6 +1069,15 @@ def recon_frame(s):
     if has_inter_frame:
         has_inter_frame = bool((s.block_records[:, 6] == 0).any()) \
             if s.block_records is not None else bool(s.inter4.any())
+    has_scaled = has_inter_frame and any(
+        sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
+    if has_scaled:
+        scales_np = np.asarray(s.mvscale, np.int32)
+        steps_np = np.asarray(s.mvstep, np.int32)
+        scale_nz_np = scales_np[:, 0] != 0
+        with metrics.timer("recon.scaled_grids"):
+            anchors = _scaled_anchor_grids(recs_dev, r4, c4, h.ss_h,
+                                           h.ss_v)
 
     outs = []
     for plane_idx in range(3):
@@ -859,25 +1115,61 @@ def recon_frame(s):
                 hh = (hh + h.ss_v) >> h.ss_v
             # reference planes stay device-resident across frames
             refplanes = []
+            refdims = []
             for i in range(3):
                 rf = s.refs[h.refidx[i]]
                 if rf is None:
                     refplanes.append(None)
-                elif rf.dev is not None:
-                    refplanes.append(rf.dev[plane_idx])
+                    refdims.append((hh, w))
                 else:
-                    refplanes.append(jnp.asarray(rf.planes[plane_idx],
-                                                 jnp.int32))
+                    if rf.dev is not None:
+                        refplanes.append(rf.dev[plane_idx])
+                    else:
+                        refplanes.append(jnp.asarray(
+                            rf.planes[plane_idx], jnp.int32))
+                    rw, rh = rf.size
+                    if plane_idx:
+                        rw = (rw + h.ss_h) >> h.ss_h
+                        rh = (rh + h.ss_v) >> h.ss_v
+                    refdims.append((rh, rw))
             z = next(p for p in refplanes if p is not None)
             refplanes = [p if p is not None else z for p in refplanes]
             inter4_p, txsz4_p, txtype4_p, comp4_p, filt4_p, refsel_p, \
                 mv16_p = grids
-            with metrics.timer("recon.inter_enqueue"):
-                plane_dev, residual = _recon_plane_inter(
-                    coef_dev, eob_dev, inter4_p, txsz4_p, txtype4_p,
-                    comp4_p, filt4_p, refsel_p, mv16_p,
-                    refplanes[0], refplanes[1], refplanes[2], w, hh,
-                    bool(h.lossless), bpp, mvsx, mvsy)
+            if has_scaled:
+                # pad differently-sized ref planes to a common stack
+                Hm = max(p.shape[0] for p in refplanes)
+                Wm = max(p.shape[1] for p in refplanes)
+                refplanes = [
+                    p if p.shape == (Hm, Wm) else
+                    jnp.zeros((Hm, Wm), p.dtype)
+                    .at[:p.shape[0], :p.shape[1]].set(p)
+                    for p in refplanes]
+                refh_a = jnp.asarray([d[0] for d in refdims], jnp.int32)
+                refw_a = jnp.asarray([d[1] for d in refdims], jnp.int32)
+                if plane_idx == 0:
+                    ay, ax, by, bx, pwb, phb = anchors[:6]
+                    ssx = ssy = 0
+                else:
+                    ay, ax, by, bx, pwb, phb = anchors[6:]
+                    ssx, ssy = h.ss_h, h.ss_v
+                with metrics.timer("recon.inter_enqueue"):
+                    plane_dev, residual = _recon_plane_inter_mixed(
+                        coef_dev, eob_dev, inter4_p, txsz4_p, txtype4_p,
+                        comp4_p, filt4_p, refsel_p, mv16_p,
+                        refplanes[0], refplanes[1], refplanes[2],
+                        ay, ax, by, bx, pwb, phb,
+                        jnp.asarray(scales_np), jnp.asarray(steps_np),
+                        refw_a, refh_a, jnp.asarray(scale_nz_np),
+                        s.cols, s.rows, bool(h.lossless), bpp,
+                        mvsx, mvsy, ssx, ssy)
+            else:
+                with metrics.timer("recon.inter_enqueue"):
+                    plane_dev, residual = _recon_plane_inter(
+                        coef_dev, eob_dev, inter4_p, txsz4_p, txtype4_p,
+                        comp4_p, filt4_p, refsel_p, mv16_p,
+                        refplanes[0], refplanes[1], refplanes[2], w, hh,
+                        bool(h.lossless), bpp, mvsx, mvsy)
         else:
             with metrics.timer("recon.residual_enqueue"):
                 plane_dev, residual = _recon_plane_intra_only(
@@ -966,6 +1258,41 @@ def _recon_plane_inter(coef, eob4, inter4, txsz4, txtype4, comp, filt,
     refstack = jnp.stack([ref0, ref1, ref2], axis=0)
     mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w, hh, bpp,
                    mvsx, mvsy)
+    maxp = (1 << bpp) - 1
+    mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0, maxp)
+    mask = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)
+    plane = jnp.zeros((H, W), jnp.int32)
+    plane = plane.at[:mc.shape[0], :mc.shape[1]].set(
+        jnp.where(mask, mcfull, plane[:mc.shape[0], :mc.shape[1]]))
+    return plane, residual
+
+
+@partial(jax.jit, static_argnames=("lossless", "bpp", "mvsx", "mvsy",
+                                   "ss_x", "ss_y"))
+def _recon_plane_inter_mixed(coef, eob4, inter4, txsz4, txtype4, comp,
+                             filt, refsel, mvraw, ref0, ref1, ref2,
+                             ay, ax, by, bx, pw, ph, scales, steps,
+                             refw, refh, scale_nz, cols, rows, lossless,
+                             bpp, mvsx, mvsy, ss_x, ss_y):
+    """_recon_plane_inter for frames with scaled (resized) references."""
+    H, W = coef.shape
+    comp = comp.astype(bool)
+    inter4 = inter4.astype(bool)
+    coef = coef.astype(jnp.int32)
+    residual = jnp.zeros(coef.shape, jnp.int32)
+    if lossless:
+        residual = _residual_for_size(coef, eob4, txsz4, txtype4, 0, True,
+                                      bpp, *coef.shape)
+    else:
+        for tx in range(4):
+            residual = residual + _residual_for_size(
+                coef, eob4, txsz4, txtype4, tx, False, bpp, *coef.shape)
+    residual = residual.astype(jnp.int32)
+    refstack = jnp.stack([ref0, ref1, ref2], axis=0)
+    mc = _mc_cells_mixed(refstack, mvraw, refsel, comp, filt, ay, ax,
+                         by, bx, pw, ph, scales, steps, refw, refh,
+                         scale_nz, cols, rows, bpp, mvsx, mvsy,
+                         ss_x, ss_y)
     maxp = (1 << bpp) - 1
     mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0, maxp)
     mask = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)

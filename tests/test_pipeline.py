@@ -16,7 +16,8 @@ VECTORS = [
     "inter_66x66_5f",      # odd size edges
     "superframe",          # invisible frames inside superframes
     "show_existing",       # show-existing-frame replay
-    "mini_scaled",         # golden-fallback frames referencing TPU frames
+    "mini_scaled",         # scaled-reference frames (TPU scaled MC)
+    "mini_scaled_mv_odd",  # scaled MC with real MVs and odd sizes
     "mini_seg_128x72",     # segmentation state carried across frames
     "bench_1080p",         # 4 tile columns
 ]

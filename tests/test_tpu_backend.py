@@ -19,7 +19,10 @@ VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
                                   "mini_rand10_tx4_64",
                                   "mini_rand12_130x70",
                                   "mini_rand12_444_64",
-                                  "mini_rand_252q_64"])
+                                  "mini_rand_252q_64",
+                                  "mini_inter_mv", "mini_scaled_mv_up",
+                                  "mini_scaled_mv_dn",
+                                  "mini_scaled_mv_odd"])
 def test_tpu_backend_conformance(name):
     ivf = os.path.join(VEC_DIR, name + ".ivf")
     if not os.path.exists(ivf):

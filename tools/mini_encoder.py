@@ -928,6 +928,34 @@ def main():
         print("mini_intraonly: keyframe + invisible intra-only via "
               "superframe")
 
+    # inter frames with random modes/partitions and NEWMV deltas:
+    # unscaled, upscaled (non-power-of-2 ratio), max-downscale (2x,
+    # step 32), and odd-size scaled — exercises the scaled-MC MV clamp,
+    # quadrant anchors, and the libvpx-820 chroma phase formula
+    mv_specs = [("mini_inter_mv", 96, 96, 96, 96, 21),
+                ("mini_scaled_mv_up", 64, 64, 96, 96, 22),
+                ("mini_scaled_mv_dn", 192, 192, 96, 96, 23),
+                ("mini_scaled_mv_odd", 130, 70, 98, 66, 24)]
+    for name, kw, kh, iw, ih, seed in mv_specs:
+        rngk = np.random.RandomState(seed)
+        yp = rngk.randint(0, 256, (kh, kw))
+        up = rngk.randint(0, 256, ((kh + 1) // 2, (kw + 1) // 2))
+        vp = rngk.randint(0, 256, ((kh + 1) // 2, (kw + 1) // 2))
+        kf = encode_keyframe_lossless(yp, up, vp, 8)
+        pkt = encode_inter_random(iw, ih, seed=seed)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", iw, ih, 30, 1, [(0, kf), (33, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-noautoscale", "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode != 0:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+            continue
+        with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+            fh.write(out.stdout)
+        print(name, f"kf {kw}x{kh} + random-mv inter {iw}x{ih}")
+
     # inter frames (all-skip ZEROMV off ref slot 0).  mini_inter: same
     # size (unscaled MC).  mini_scaled: the inter frame is 2x the
     # keyframe -> exercises the scaled-reference MC path e2e
@@ -953,6 +981,246 @@ def main():
         else:
             print(name, "ORACLE FAILED:",
                   out.stderr.decode().strip().splitlines()[-1])
+
+
+def _inter_header_bits(w, h, refresh_mask=0x02):
+    """Inter-frame uncompressed header + no-update compressed header
+    (profile 0, lossless, single ref slot 0, filter 8tap-smooth,
+    hp mvs off). Returns (header bytes, compressed header bytes)."""
+    gb = BitWriter()
+    gb.put(0b10, 2)
+    gb.put(0, 1)
+    gb.put(0, 1)        # profile 0
+    gb.put(0, 1)        # show_existing
+    gb.put(1, 1)        # non-keyframe
+    gb.put(1, 1)        # show_frame
+    gb.put(0, 1)        # error_resilient
+    gb.put(0, 2)        # reset_frame_context
+    gb.put(refresh_mask, 8)
+    for _ in range(3):
+        gb.put(0, 3)    # refidx = 0
+        gb.put(0, 1)    # sign bias
+    gb.put(0, 1)        # size-from-ref0? no
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(w - 1, 16)
+    gb.put(h - 1, 16)
+    gb.put(0, 1)        # display size
+    gb.put(0, 1)        # high precision mvs
+    gb.put(0, 1)        # filter not switchable...
+    gb.put(0, 2)        # ... FILTER_8TAP_SMOOTH
+    gb.put(0, 1)        # refresh_frame_context
+    gb.put(0, 1)        # frame_parallel
+    gb.put(0, 2)        # frame_context_idx
+    gb.put(0, 6)        # lf level
+    gb.put(0, 3)        # sharpness
+    gb.put(0, 1)        # lf delta
+    gb.put(0, 8)        # yac_qi = 0 (lossless)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)        # segmentation
+    sb_cols = (w + 63) >> 6
+    min_log2 = 0
+    while sb_cols > (64 << min_log2):
+        min_log2 += 1
+    mx = 0
+    while (sb_cols >> mx) >= 4:
+        mx += 1
+    mx = max(0, mx - 1)
+    if mx > min_log2:
+        gb.put(0, 1)
+    gb.put(0, 1)        # log2_tile_rows
+
+    c = BoolEncoder()
+    c.put(0, 128)       # marker
+    c.put(0, 128)       # coef update flag (i=0, lossless)
+    for _ in range(3):
+        c.put(0, 252)   # skip probs
+    for _ in range(7 * 3):
+        c.put(0, 252)   # mv_mode probs
+    for _ in range(4):
+        c.put(0, 252)   # intra probs
+    for _ in range(5 * 2):
+        c.put(0, 252)   # single_ref probs
+    for _ in range(4 * 9):
+        c.put(0, 252)   # y_mode
+    for _ in range(4 * 4 * 3):
+        c.put(0, 252)   # partition
+    for _ in range(3):
+        c.put(0, 252)   # mv_joint
+    for _ in range(2 * (1 + 10 + 1 + 10)):
+        c.put(0, 252)   # mv sign/classes/class0/bits
+    for _ in range(2 * (2 * 3 + 3)):
+        c.put(0, 252)   # class0_fp / fp
+    chdr = c.bytes()
+    gb.put(len(chdr), 16)
+    return gb.bytes(), chdr
+
+
+def encode_inter_random(w, h, seed=0):
+    """Visible inter frame with random partitions (incl. sub-8x8),
+    random inter modes, and NEWMV with random coded deltas — all-skip
+    (no coefficients), single ref slot 0. Against a reference of a
+    different size this exercises the scaled-MC semantics the ZEROMV
+    vector cannot: the MV clamp (vp9recon.c:505-506), nonzero phase
+    stepping, per-quadrant call anchors, and the libvpx-820 chroma
+    formula."""
+    from ffmpeg_hybrid_tpu.codecs.vp9.probs import Probs
+    from ffmpeg_hybrid_tpu.codecs.vp9.blockdec import (
+        INTER_MODE_CTX_LUT, SUB8X8_OFF, ABOVE_CTX, LEFT_CTX)
+
+    rng = np.random.RandomState(seed)
+    P = Probs.defaults()
+    hdr, chdr = _inter_header_bits(w, h)
+
+    t = BoolEncoder()
+    t.put(0, 128)
+    sb_cols = (w + 63) >> 6
+    sb_rows = (h + 63) >> 6
+    cols = (w + 7) >> 3
+    rows = (h + 7) >> 3
+    NEARESTMV, NEWMV = 10, 13
+    part_probs = T.PROBS_PARTITION
+    ptree = T.PARTITION_TREE
+
+    above_part = np.zeros(sb_cols * 8, np.uint8)
+    above_skip = np.zeros(sb_cols * 8, np.uint8)
+    above_mode = np.full(sb_cols * 8, NEARESTMV, np.uint8)
+    left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8),
+            "mode": np.full(8, NEARESTMV, np.uint8)}
+    first = [True]
+
+    def put_mv_component(idx, v):
+        """Mirror of read_mv_component with hp coding off
+        (vp9mvs.c:236-289): v is a nonzero even delta."""
+        sign = v < 0
+        n = abs(v) - 1
+        assert n & 1, "hp off: only even magnitudes are codable"
+        t.put(1 if sign else 0, int(P.mv_sign[idx]))
+        if n < 16:
+            t.put_tree(T.MV_CLASS_TREE, P.mv_classes[idx], 0)
+            t.put(n >> 3, int(P.mv_class0[idx]))
+            t.put_tree(T.MV_FP_TREE, P.mv_class0_fp[idx][n >> 3],
+                       (n >> 1) & 3)
+        else:
+            cl = (n >> 3).bit_length() - 1
+            t.put_tree(T.MV_CLASS_TREE, P.mv_classes[idx], cl)
+            off = n - (8 << cl)
+            for m in range(cl):
+                t.put((off >> (3 + m)) & 1, int(P.mv_bits[idx][m]))
+            t.put_tree(T.MV_FP_TREE, P.mv_fp[idx], (off >> 1) & 3)
+        # hp bit not coded (highprecisionmvs = 0)
+
+    MAGS = [0, 0, 0, 2, 4, 8, 14, 16, 32, 64, 126, 256, 512]
+
+    def put_newmv_delta():
+        dy = int(rng.choice(MAGS)) * int(rng.choice([-1, 1]))
+        dx = int(rng.choice(MAGS)) * int(rng.choice([-1, 1]))
+        j = (2 if dy else 0) | (1 if dx else 0)
+        t.put_tree(T.MV_JOINT_TREE, P.mv_joint, j)
+        if dy:
+            put_mv_component(0, dy)
+        if dx:
+            put_mv_component(1, dx)
+
+    def put_mode(mctx):
+        mode = int(rng.choice([10, 11, 12, 13],
+                              p=[0.15, 0.15, 0.15, 0.55]))
+        t.put_tree(T.INTER_MODE_TREE, T.PROBS_MV_MODE[mctx], mode)
+        if mode == NEWMV:
+            put_newmv_delta()
+        return mode
+
+    def encode_block(r, ccol, bl, bp):
+        bs = bl * 3 + bp
+        row7 = r & 7
+        nw = int(T.BWH_TAB[1][bs][0])
+        nh = int(T.BWH_TAB[1][bs][1])
+        have_a = r > 0
+        have_l = ccol > 0
+        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+        t.put(1, int(T.PROBS_SKIP[sctx]))          # skip = 1
+        t.put(1, int(T.PROBS_INTRA[0]))            # is_inter
+        rctx = 2 if (not have_a and not have_l) else 4
+        t.put(0, int(T.PROBS_SINGLE_REF[rctx][0]))  # ref slot index 0
+        if bs <= 9:
+            off = SUB8X8_OFF[bs]
+            mctx = int(INTER_MODE_CTX_LUT[int(above_mode[ccol + off]),
+                                          int(left["mode"][row7 + off])])
+            last = put_mode(mctx)
+        else:
+            # sub-8x8: per-quadrant modes+mvs after the (absent) filter
+            mctx = int(INTER_MODE_CTX_LUT[int(above_mode[ccol]),
+                                          int(left["mode"][row7])])
+            m0 = put_mode(mctx)
+            m1 = put_mode(mctx) if bs != 10 else m0
+            if bs != 11:
+                m2 = put_mode(mctx)
+                m3 = put_mode(mctx) if bs != 10 else m2
+            else:
+                m3 = m1
+            last = m3
+        above_skip[ccol:ccol + nw] = 1
+        above_part[ccol:ccol + nw] = ABOVE_CTX[bs]
+        above_mode[ccol:ccol + nw] = last
+        left["skip"][row7:row7 + nh] = 1
+        left["part"][row7:row7 + nh] = LEFT_CTX[bs]
+        left["mode"][row7:row7 + nh] = last
+
+    def encode_sb(r, ccol, bl):
+        ctx = ((int(above_part[ccol]) >> (3 - bl)) & 1) | \
+              (((int(left["part"][r & 7]) >> (3 - bl)) & 1) << 1)
+        p = part_probs[bl][ctx]
+        hbs = 4 >> bl
+        if bl == 3:
+            bp = int(rng.choice([0, 1, 2, 3], p=[0.4, 0.2, 0.2, 0.2]))
+            t.put_tree(ptree, p, bp)
+            encode_block(r, ccol, bl, bp)
+        elif ccol + hbs < cols:
+            if r + hbs < rows:
+                bp = int(rng.choice([0, 1, 2, 3],
+                                    p=[0.35, 0.15, 0.15, 0.35]))
+                t.put_tree(ptree, p, bp)
+                if bp == 0:
+                    encode_block(r, ccol, bl, 0)
+                elif bp == 1:
+                    encode_block(r, ccol, bl, 1)
+                    encode_block(r + hbs, ccol, bl, 1)
+                elif bp == 2:
+                    encode_block(r, ccol, bl, 2)
+                    encode_block(r, ccol + hbs, bl, 2)
+                else:
+                    encode_sb(r, ccol, bl + 1)
+                    encode_sb(r, ccol + hbs, bl + 1)
+                    encode_sb(r + hbs, ccol, bl + 1)
+                    encode_sb(r + hbs, ccol + hbs, bl + 1)
+            else:
+                split = bool(rng.rand() < 0.5)
+                t.put(1 if split else 0, int(p[1]))
+                if split:
+                    encode_sb(r, ccol, bl + 1)
+                    encode_sb(r, ccol + hbs, bl + 1)
+                else:
+                    encode_block(r, ccol, bl, 1)
+        elif r + hbs < rows:
+            split = bool(rng.rand() < 0.5)
+            t.put(1 if split else 0, int(p[2]))
+            if split:
+                encode_sb(r, ccol, bl + 1)
+                encode_sb(r + hbs, ccol, bl + 1)
+            else:
+                encode_block(r, ccol, bl, 2)
+        else:
+            encode_sb(r, ccol, bl + 1)
+
+    for r in range(0, sb_rows * 8, 8):
+        left["part"][:] = 0
+        left["skip"][:] = 0
+        left["mode"][:] = NEARESTMV
+        for ccol in range(0, sb_cols * 8, 8):
+            encode_sb(r, ccol, 0)
+    return _finish(hdr, chdr, t.bytes())
 
 
 def encode_inter_zeromv(w, h):
