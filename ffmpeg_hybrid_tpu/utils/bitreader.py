@@ -5,6 +5,11 @@ header parse (reference: libavcodec/vp9.c:528, libavcodec/get_bits.h).
 """
 
 
+class BitstreamError(ValueError):
+    """Invalid/truncated bitstream — the AVERROR_INVALIDDATA analogue;
+    a ValueError so all decode-input failures share one catchable base."""
+
+
 class BitReader:
     __slots__ = ("data", "pos", "nbits")
 
@@ -18,7 +23,7 @@ class BitReader:
         if n == 0:
             return 0
         if self.pos + n > self.nbits:
-            raise EOFError("bitstream overread")
+            raise BitstreamError("bitstream overread")
         v = 0
         pos = self.pos
         data = self.data
