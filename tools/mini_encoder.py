@@ -942,7 +942,7 @@ def main():
         up = rngk.randint(0, 256, ((kh + 1) // 2, (kw + 1) // 2))
         vp = rngk.randint(0, 256, ((kh + 1) // 2, (kw + 1) // 2))
         kf = encode_keyframe_lossless(yp, up, vp, 8)
-        pkt = encode_inter_random(iw, ih, seed=seed)
+        pkt, _sm = encode_inter_random(iw, ih, seed=seed)
         path = os.path.join(vec, name + ".ivf")
         write_ivf(path, b"VP90", iw, ih, 30, 1, [(0, kf), (33, pkt)])
         out = subprocess.run(
@@ -955,6 +955,31 @@ def main():
         with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
             fh.write(out.stdout)
         print(name, f"kf {kw}x{kh} + random-mv inter {iw}x{ih}")
+
+    # temporal segmentation prediction: 3-frame chain where frame 3's
+    # seg ids are temporally predicted from frame 2's decoded map
+    # (seg_pred_prob bits + segpred ctx + SKIP-feature interplay)
+    rngk = np.random.RandomState(31)
+    yp = rngk.randint(0, 256, (96, 96))
+    up = rngk.randint(0, 256, (48, 48))
+    vp = rngk.randint(0, 256, (48, 48))
+    kf = encode_keyframe_lossless(yp, up, vp, 8)
+    p1, sm1 = encode_inter_random(96, 96, seed=32, seg=True)
+    p2, _sm2 = encode_inter_random(96, 96, seed=33, seg=True,
+                                   prev_segmap=sm1)
+    path = os.path.join(vec, "mini_seg_temporal.ivf")
+    write_ivf(path, b"VP90", 96, 96, 30, 1, [(0, kf), (33, p1), (66, p2)])
+    out = subprocess.run(
+        [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+         "-f", "framemd5", "-"], capture_output=True)
+    if out.returncode == 0:
+        with open(os.path.join(vec, "mini_seg_temporal.framemd5"),
+                  "wb") as fh:
+            fh.write(out.stdout)
+        print("mini_seg_temporal: kf + 2 temporally-predicted seg frames")
+    else:
+        print("mini_seg_temporal ORACLE FAILED:",
+              out.stderr.decode().strip().splitlines()[-1])
 
     # inter frames (all-skip ZEROMV off ref slot 0).  mini_inter: same
     # size (unscaled MC).  mini_scaled: the inter frame is 2x the
@@ -983,7 +1008,7 @@ def main():
                   out.stderr.decode().strip().splitlines()[-1])
 
 
-def _inter_header_bits(w, h, refresh_mask=0x02):
+def _inter_header_bits(w, h, refresh_mask=0x02, seg=False):
     """Inter-frame uncompressed header + no-update compressed header
     (profile 0, lossless, single ref slot 0, filter 8tap-smooth,
     hp mvs off). Returns (header bytes, compressed header bytes)."""
@@ -1019,7 +1044,27 @@ def _inter_header_bits(w, h, refresh_mask=0x02):
     gb.put(0, 1)
     gb.put(0, 1)
     gb.put(0, 1)
-    gb.put(0, 1)        # segmentation
+    if seg:
+        # temporal segmentation: explicit tree probs (128), pred probs
+        # (128), segment 1 = SKIP feature (vp9.c:713-792 syntax)
+        gb.put(1, 1)               # enabled
+        gb.put(1, 1)               # update_map
+        for p in SEG_TREE_PROBS:
+            gb.put(1, 1)
+            gb.put(p, 8)
+        gb.put(1, 1)               # temporal
+        for _ in range(3):
+            gb.put(1, 1)
+            gb.put(128, 8)         # pred prob
+        gb.put(1, 1)               # update data
+        gb.put(0, 1)               # relative values
+        for sid in range(8):
+            gb.put(0, 1)           # q feature
+            gb.put(0, 1)           # lf feature
+            gb.put(0, 1)           # ref feature
+            gb.put(1 if sid == 1 else 0, 1)  # skip feature
+    else:
+        gb.put(0, 1)    # segmentation
     sb_cols = (w + 63) >> 6
     min_log2 = 0
     while sb_cols > (64 << min_log2):
@@ -1058,7 +1103,7 @@ def _inter_header_bits(w, h, refresh_mask=0x02):
     return gb.bytes(), chdr
 
 
-def encode_inter_random(w, h, seed=0):
+def encode_inter_random(w, h, seed=0, seg=False, prev_segmap=None):
     """Visible inter frame with random partitions (incl. sub-8x8),
     random inter modes, and NEWMV with random coded deltas — all-skip
     (no coefficients), single ref slot 0. Against a reference of a
@@ -1072,7 +1117,7 @@ def encode_inter_random(w, h, seed=0):
 
     rng = np.random.RandomState(seed)
     P = Probs.defaults()
-    hdr, chdr = _inter_header_bits(w, h)
+    hdr, chdr = _inter_header_bits(w, h, seg=seg)
 
     t = BoolEncoder()
     t.put(0, 128)
@@ -1087,8 +1132,13 @@ def encode_inter_random(w, h, seed=0):
     above_part = np.zeros(sb_cols * 8, np.uint8)
     above_skip = np.zeros(sb_cols * 8, np.uint8)
     above_mode = np.full(sb_cols * 8, NEARESTMV, np.uint8)
+    above_segpred = np.zeros(sb_cols * 8, np.uint8)
+    if prev_segmap is None:
+        prev_segmap = np.zeros((sb_rows * 8, sb_cols * 8), np.uint8)
+    cur_segmap = np.zeros((sb_rows * 8, sb_cols * 8), np.uint8)
     left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8),
-            "mode": np.full(8, NEARESTMV, np.uint8)}
+            "mode": np.full(8, NEARESTMV, np.uint8),
+            "segpred": np.zeros(8, np.uint8)}
     first = [True]
 
     def put_mv_component(idx, v):
@@ -1139,12 +1189,38 @@ def encode_inter_random(w, h, seed=0):
         nh = int(T.BWH_TAB[1][bs][1])
         have_a = r > 0
         have_l = ccol > 0
-        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
-        t.put(1, int(T.PROBS_SKIP[sctx]))          # skip = 1
+        seg_skip = False
+        if seg:
+            pctx = int(above_segpred[ccol]) + int(left["segpred"][row7])
+            pred = bool(rng.rand() < 0.5)
+            # predicted id = min over the CLIPPED block span of the
+            # previous frame's map (vp9block.c:115-127)
+            w4c = min(cols - ccol, nw)
+            h4c = min(rows - r, nh)
+            pred_sid = int(prev_segmap[r:r + h4c, ccol:ccol + w4c].min())
+            if pred and pred_sid == 1 and bs > 9:
+                pred = False  # keep sub-8x8 out of the skip segment
+            t.put(1 if pred else 0, 128)  # seg_pred_prob[pctx] == 128
+            if pred:
+                sid = pred_sid
+            else:
+                # skip feature (seg 1) forces ZEROMV only on the >=8x8
+                # path; keep sub-8x8 blocks in non-skip segments
+                sid = int(rng.choice([0, 1, 2] if bs <= 9 else [0, 2]))
+                t.put_tree(T.SEGMENTATION_TREE, SEG_TREE_PROBS, sid)
+            above_segpred[ccol:ccol + nw] = 1 if pred else 0
+            left["segpred"][row7:row7 + nh] = 1 if pred else 0
+            cur_segmap[r:r + nh, ccol:ccol + nw] = sid
+            seg_skip = sid == 1
+        if not seg_skip:
+            sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+            t.put(1, int(T.PROBS_SKIP[sctx]))      # skip = 1
         t.put(1, int(T.PROBS_INTRA[0]))            # is_inter
         rctx = 2 if (not have_a and not have_l) else 4
         t.put(0, int(T.PROBS_SINGLE_REF[rctx][0]))  # ref slot index 0
-        if bs <= 9:
+        if seg_skip:
+            last = 12  # ZEROMV forced, no mode bits (vp9block.c:587)
+        elif bs <= 9:
             off = SUB8X8_OFF[bs]
             mctx = int(INTER_MODE_CTX_LUT[int(above_mode[ccol + off]),
                                           int(left["mode"][row7 + off])])
@@ -1220,7 +1296,7 @@ def encode_inter_random(w, h, seed=0):
         left["mode"][:] = NEARESTMV
         for ccol in range(0, sb_cols * 8, 8):
             encode_sb(r, ccol, 0)
-    return _finish(hdr, chdr, t.bytes())
+    return _finish(hdr, chdr, t.bytes()), cur_segmap
 
 
 def encode_inter_zeromv(w, h):
@@ -1259,7 +1335,27 @@ def encode_inter_zeromv(w, h):
     gb.put(0, 1)
     gb.put(0, 1)
     gb.put(0, 1)
-    gb.put(0, 1)        # segmentation
+    if seg:
+        # temporal segmentation: explicit tree probs (128), pred probs
+        # (128), segment 1 = SKIP feature (vp9.c:713-792 syntax)
+        gb.put(1, 1)               # enabled
+        gb.put(1, 1)               # update_map
+        for p in SEG_TREE_PROBS:
+            gb.put(1, 1)
+            gb.put(p, 8)
+        gb.put(1, 1)               # temporal
+        for _ in range(3):
+            gb.put(1, 1)
+            gb.put(128, 8)         # pred prob
+        gb.put(1, 1)               # update data
+        gb.put(0, 1)               # relative values
+        for sid in range(8):
+            gb.put(0, 1)           # q feature
+            gb.put(0, 1)           # lf feature
+            gb.put(0, 1)           # ref feature
+            gb.put(1 if sid == 1 else 0, 1)  # skip feature
+    else:
+        gb.put(0, 1)    # segmentation
     sb_cols = (w + 63) >> 6
     min_log2 = 0
     while sb_cols > (64 << min_log2):
