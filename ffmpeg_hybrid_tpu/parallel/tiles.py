@@ -57,6 +57,51 @@ def _stripe_recon(coef, eob4, txsz4, mv16, refsel, comp, filt, inter4,
     return stripe, from_left, from_right, total_counts
 
 
+def sharded_frame_recon(mesh, W_full, bpp=8, mvsx=2, mvsy=2,
+                        lossless=False):
+    """Tile-column-sharded inter recon of ONE real frame plane.
+
+    Built for real decoder tensors (the grids recon_tpu rebuilds from
+    pass-A block records): each "tile" shard reconstructs its column
+    stripe with the production kernels — full per-tile residual
+    transforms (dct/adst select, dc-only path) and per-cell 8-tap MC
+    against the replicated reference stack, with the stripe's pixel
+    offset folded into the MV grid so gathers hit absolute positions.
+    Intra and the loop filter remain frame-wide passes after stripes
+    are re-joined (the reference's contract: the loop filter crosses
+    tile boundaries and runs serialized, vp9.c:1441-1552)."""
+    spec_px = P(None, "tile")
+    spec_mv = P(None, "tile", None, None)
+    spec_sel = P(None, "tile", None)
+    spec_rep = P(None, None, None)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec_px, spec_px, spec_px, spec_px, spec_sel,
+                       spec_mv, spec_px, spec_px, spec_px, spec_rep),
+             out_specs=spec_px)
+    def step(coef, eob4, txsz4, txtype4, refsel, mv16, comp, filt,
+             inter4, refstack):
+        residual = recon_tpu.residual_plane(
+            coef, eob4, txsz4, txtype4, lossless, bpp).astype(jnp.int32)
+        # stripe pixel offset -> absolute ref coordinates via the MV
+        # grid (1/16-pel = px * 16; the grid is pre-scale, so /mvsx)
+        px_off = jax.lax.axis_index("tile") * coef.shape[1]
+        mv16 = mv16.at[..., 0].add(px_off * (16 // mvsx))
+        mc = recon_tpu._mc_cells(
+            refstack, mv16, refsel, comp.astype(bool), filt,
+            inter4.astype(bool), W_full, refstack.shape[1], bpp,
+            mvsx, mvsy)
+        maxp = (1 << bpp) - 1
+        mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0,
+                          maxp)
+        mask = jnp.repeat(jnp.repeat(inter4.astype(bool), 4, 0), 4, 1)
+        plane = jnp.zeros(coef.shape, jnp.int32)
+        return plane.at[:mc.shape[0], :mc.shape[1]].set(
+            jnp.where(mask, mcfull, plane[:mc.shape[0], :mc.shape[1]]))
+
+    return jax.jit(step)
+
+
 def sharded_recon_step(mesh, bpp=8):
     """Build the jitted tile+gop-sharded recon step for `mesh`."""
     spec_in = P("gop", None, "tile")      # [gop, H, W] striped by cols

@@ -13,6 +13,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize imports jax at interpreter start, so
+# jax.config snapshotted JAX_PLATFORMS=axon before this file ran —
+# the env mutation above is too late. Override through the config API
+# (backends have not initialized yet at conftest-import time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 ORACLE_LIB = os.path.join(os.path.dirname(__file__), "..", ".oracle",
