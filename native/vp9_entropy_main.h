@@ -339,9 +339,12 @@ static void reset_left(Td *td)
 #include <stdlib.h>
 
 #define N_COUNT_FIELDS 24
+/* element counts of the Python Counts arrays (counts.py), field order
+ * of ctx_count_ptrs: coef = [4][2][2][6][6][3] = 1728,
+ * eob = [4][2][2][6][6][2] = 1152 */
 static const int count_sizes[N_COUNT_FIELDS] = {
     40, 100, 12, 28, 8, 10, 20, 10, 8, 6, 4, 6, 4, 64,
-    3456, 2304, 4, 22, 4, 40, 16, 8, 4, 4
+    1728, 1152, 4, 22, 4, 40, 16, 8, 4, 4
 };
 
 static uint32_t **ctx_count_ptrs(Ctx *s, uint32_t **out)
@@ -375,7 +378,7 @@ static void ctx_set_counts(Ctx *s, uint32_t *blob)
     }
 }
 
-#define COUNTS_TOTAL 6182
+#define COUNTS_TOTAL 3302  /* sum of count_sizes */
 
 typedef struct {
     Ctx ctx;           /* per-thread copy with private counts/blocks */
@@ -454,7 +457,10 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
     }
 
     if (s->tile_cols == 1) {
-        static Td td_s;
+        /* stack-local: decoders run pass A concurrently (GOP-parallel
+         * workers, the decode_stream pipeline) — shared state here
+         * desyncs the bool decoder */
+        Td td_s;
         Td *td = &td_s;
         memset(td, 0, sizeof(*td));
         td->s = s;
@@ -484,16 +490,25 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
     int ntc = s->tile_cols;
     TileJob *jobs = calloc(ntc, sizeof(TileJob));
     pthread_t th[64];
-    int blocks_per = s->max_blocks / ntc;
+    /* per-tile record capacity from the tile's actual b8 width (tile
+     * splits are uneven when sb_cols % ntc != 0; an even split would
+     * silently drop records from the wider tiles) */
+    size_t blk_off = 0;
     for (int tc = 0; tc < ntc; tc++) {
         TileJob *j = &jobs[tc];
         j->ctx = *s;
         j->tile_col = tc;
         ctx_set_counts(&j->ctx, j->counts);
         memset(j->counts, 0, sizeof(j->counts));
-        j->ctx.blocks_out = s->blocks_out + (size_t)tc * blocks_per * 36;
-        j->ctx.max_blocks = blocks_per;
+        int c0 = ((tc * s->sb_cols) >> s->log2_tile_cols) * 8;
+        int c1 = (((tc + 1) * s->sb_cols) >> s->log2_tile_cols) * 8;
+        if (c0 > s->cols) c0 = s->cols;
+        if (c1 > s->cols) c1 = s->cols;
+        int cap = (c1 - c0) * s->rows;  /* <= one record per b8 cell */
+        j->ctx.blocks_out = s->blocks_out + blk_off * 36;
+        j->ctx.max_blocks = cap;
         j->ctx.n_blocks = 0;
+        blk_off += cap;
         for (int tr = 0; tr < s->tile_rows; tr++) {
             j->tile_data[tr] = tdata[tr][tc];
             j->tile_size[tr] = tsize[tr][tc];
@@ -520,7 +535,7 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
     int w = jobs[0].ctx.n_blocks;
     for (int tc = 1; tc < ntc; tc++) {
         memmove(s->blocks_out + (size_t)w * 36,
-                s->blocks_out + (size_t)tc * blocks_per * 36,
+                jobs[tc].ctx.blocks_out,
                 (size_t)jobs[tc].ctx.n_blocks * 36 * sizeof(int16_t));
         w += jobs[tc].ctx.n_blocks;
     }

@@ -79,3 +79,39 @@ def test_gop_multiprocess_matches_serial(tmp_path):
     par = decode_gops_md5_multiprocess(path, n_procs=2,
                                        recon_backend="tpu")
     assert par == serial
+
+
+def test_concurrent_pass_a_stress():
+    """Many decoders running pass A simultaneously (the GOP-parallel
+    and decode_stream regimes) must not interfere: the native
+    single-tile path once kept per-tile state in a C `static` and
+    desynced under concurrency."""
+    import hashlib
+    import threading
+
+    from ffmpeg_hybrid_tpu.formats.framemd5 import parse_framemd5
+    from ffmpeg_hybrid_tpu.codecs.vp9.decoder import VP9Decoder
+
+    packets = _multi_gop_stream("inter_176x144_10f", 1)
+    ref = [m for _s, m in parse_framemd5(
+        os.path.join(VEC_DIR, "inter_176x144_10f.framemd5"))]
+    errs = []
+
+    def worker():
+        try:
+            for _rep in range(3):
+                dec = VP9Decoder(recon_backend="golden")
+                got = []
+                for pkt in packets:
+                    for f in dec.decode(pkt):
+                        got.append(hashlib.md5(f.to_bytes()).hexdigest())
+                assert got == ref
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[0]
