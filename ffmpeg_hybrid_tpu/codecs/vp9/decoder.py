@@ -140,7 +140,7 @@ class FrameJob:
             "eob_u", "eob_v", "txsz4", "txtype4", "uvtx4", "inter4",
             "inter4uv", "mv4", "uvmv4", "ref4", "comp4", "filter4",
             "lf_level", "lf_mask", "cols", "rows", "sb_cols", "sb_rows",
-            "ss_h", "ss_v", "use_native"))
+            "ss_h", "ss_v", "use_native", "coef_counts"))
 
     def __init__(self):
         self.pre = None
@@ -151,7 +151,8 @@ _JOB_ATTRS = (
     "block_records", "coef_y", "coef_u", "coef_v", "eob_y", "eob_u",
     "eob_v", "txsz4", "txtype4", "uvtx4", "inter4", "inter4uv", "mv4",
     "uvmv4", "ref4", "comp4", "filter4", "lf_level", "lf_mask",
-    "cols", "rows", "sb_cols", "sb_rows", "ss_h", "ss_v", "use_native")
+    "cols", "rows", "sb_cols", "sb_rows", "ss_h", "ss_v", "use_native",
+    "coef_counts")
 
 
 class VP9Decoder:
@@ -554,6 +555,7 @@ class VP9Decoder:
         # pass A: tile entropy decode (native C fast path when built)
         tile_data = data[h.uncompressed_header_size
                          + h.compressed_header_size:]
+        self.coef_counts = None  # set by the native pass A
         with metrics.timer("decode.pass_a"):
             if self.use_native:
                 from ...passa_native import decode_tiles_native

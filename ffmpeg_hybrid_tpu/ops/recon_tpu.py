@@ -527,6 +527,40 @@ def _build_intra_schedule(s, plane_idx):
     return levels
 
 
+def _build_intra_schedule_fast(s, plane_idx):
+    """Native (C) schedule build when block records exist; same levels
+    structure as _build_intra_schedule (entries grouped by dependency
+    level then size — blocks within a level are independent, so the
+    size order within a level is free)."""
+    if getattr(s, "use_native", False) \
+            and getattr(s, "block_records", None) is not None:
+        from ..passa_native import intra_schedule_native
+        plane_shape = s.cur_frame_obj.planes[plane_idx].shape
+        r4 = plane_shape[0] // 4
+        c4 = plane_shape[1] // 4
+        res = intra_schedule_native(s, plane_idx, r4, c4)
+        if res is not None:
+            ents, keys = res
+            if not len(ents):
+                return []
+            order = np.lexsort((keys[:, 1], keys[:, 0]))
+            ents = ents[order]
+            keys = keys[order]
+            change = np.empty(len(keys), bool)
+            change[0] = True
+            change[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(keys))
+            levels = []
+            for a, b in zip(starts, ends):
+                lvl, sz = int(keys[a, 0]), int(keys[a, 1])
+                while len(levels) < lvl:
+                    levels.append({})
+                levels[lvl - 1][sz] = ents[a:b]
+            return levels
+    return _build_intra_schedule(s, plane_idx)
+
+
 # EDGES flags per converted mode: needs_left, needs_top, needs_tl,
 # needs_tr (reference: vp9recon.c:71-97)
 def _edges_arr():
@@ -952,7 +986,7 @@ def _fill_pairs(out, pos, val, n):
         out[:n, 2] = val
 
 
-def _pack_coef_host(coef, eob4, txg, wide=False):
+def _pack_coef_host(coef, eob4, txg, wide=False, counts=None):
     """Pack the plane's nonzero dequantized coefficients and the eob
     grid as (position, value) int16 triples. The walk is eob-driven
     (only coded tx blocks' areas are read), so stale pooled-buffer
@@ -961,7 +995,8 @@ def _pack_coef_host(coef, eob4, txg, wide=False):
     H, W = coef.shape
     ncols = 4 if wide else 3
     from ..passa_native import count_pairs_native, pack_pairs_native
-    counts = count_pairs_native(coef, eob4, txg)
+    if counts is None:
+        counts = count_pairs_native(coef, eob4, txg)
     if counts is not None:
         nc, ne = counts
         cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2), ncols),
@@ -1011,15 +1046,17 @@ def precompute_host(s):
     h = s.header
     pre = {"levels": [None, None], "pairs": [None] * 3, "lf": None}
     with metrics.timer("recon.intra_sched"):
-        pre["levels"][0] = _build_intra_schedule(s, 0)
-        pre["levels"][1] = _build_intra_schedule(s, 1)
+        pre["levels"][0] = _build_intra_schedule_fast(s, 0)
+        pre["levels"][1] = _build_intra_schedule_fast(s, 1)
     with metrics.timer("recon.coef_pack"):
         for plane_idx in range(3):
             coef = (s.coef_y, s.coef_u, s.coef_v)[plane_idx]
             eob4 = (s.eob_y, s.eob_u, s.eob_v)[plane_idx]
             txg = s.txsz4 if plane_idx == 0 else s.uvtx4
+            cc = getattr(s, "coef_counts", None)
             pre["pairs"][plane_idx] = _pack_coef_host(
-                coef, eob4, txg, wide=h.bpp > 8)
+                coef, eob4, txg, wide=h.bpp > 8,
+                counts=cc[plane_idx] if cc else None)
     if h.filter_level and getattr(s, "use_native", False):
         try:
             from ..passa_native import lpf_record_native

@@ -76,7 +76,8 @@ class NativeCtx(C.Structure):
             "c_eob", "c_mv_sign", "c_mv_classes", "c_mv_class0",
             "c_mv_bits", "c_mv_c0fp", "c_mv_fp", "c_mv_c0hp", "c_mv_hp")]
         + [("blocks_out", i16p), ("max_blocks", C.c_int32),
-           ("n_blocks", C.c_int32), ("error", C.c_int32)]
+           ("n_blocks", C.c_int32), ("error", C.c_int32),
+           ("nnz_cnt", C.c_int32 * 3), ("eob_cnt", C.c_int32 * 3)]
     )
 
 
@@ -319,6 +320,10 @@ def decode_tiles_native(s, data: bytes) -> bool:
         blocks[:ctx.n_blocks] = view[order]
     s.block_records = blocks[:ctx.n_blocks]
     s.blocks = LazyBlocks(s.block_records)
+    # per-plane (nonzero coef, coded tx block) counts from the decode
+    # itself — lets the pair packer skip its counting pass
+    s.coef_counts = [(int(ctx.nnz_cnt[i]), int(ctx.eob_cnt[i]))
+                     for i in range(3)]
     return True
 
 
@@ -458,3 +463,42 @@ def lpf_record_native(s):
         _p(y_rec, i16p), C.c_int(y_max), C.byref(ny),
         _p(uv_rec, i16p), C.c_int(uv_max), C.byref(nuv))
     return y_rec, ny.value, uv_rec, nuv.value
+
+
+_MODE_CONV_ARR = None
+
+
+def _mode_conv_arr():
+    global _MODE_CONV_ARR
+    if _MODE_CONV_ARR is None:
+        from .codecs.vp9.golden import MODE_CONV
+        a = np.zeros((10, 2, 2), np.int8)
+        for m, (no_l, has_l) in MODE_CONV.items():
+            # MODE_CONV[mode][have_left][have_top]
+            a[m, 0, 0], a[m, 0, 1] = no_l
+            a[m, 1, 0], a[m, 1, 1] = has_l
+        _MODE_CONV_ARR = a
+    return _MODE_CONV_ARR
+
+
+def intra_schedule_native(s, plane_idx, r4, c4):
+    """C intra wavefront schedule (entries + (level, sz) keys) from the
+    native block records. Returns (entries [n, 8] int16, keys [n, 2]
+    int32) or None when unavailable."""
+    if not available() or s.block_records is None:
+        return None
+    recs = np.ascontiguousarray(s.block_records, np.int16)
+    cap = r4 * c4 + 64
+    ents = np.empty((cap, 8), np.int16)
+    keys = np.empty((cap, 2), np.int32)
+    lw = np.zeros((r4 + 8) * (c4 + 8), np.int32)
+    n = lib().vp9_intra_schedule(
+        _p(recs, i16p), C.c_int(len(recs)),
+        C.c_int(s.cols), C.c_int(s.rows),
+        C.c_int(s.ss_h), C.c_int(s.ss_v),
+        C.c_int(plane_idx), C.c_int(r4), C.c_int(c4),
+        _p(_mode_conv_arr(), i8p), _p(lw, i32p),
+        _p(ents, i16p), _p(keys, i32p), C.c_int(cap))
+    if n < 0:
+        return None
+    return ents[:n], keys[:n]

@@ -270,6 +270,11 @@ typedef struct {
     int32_t max_blocks;
     int32_t n_blocks;
     int32_t error;
+    /* per-plane counts filled during coefficient decode: nonzero
+     * dequantized coefficients and coded (eob>0) tx blocks — lets the
+     * (pos,value) pair packer run single-pass with exact capacity */
+    int32_t nnz_cnt[3];
+    int32_t eob_cnt[3];
 } Ctx;
 
 /* per-tile/block decoder state */
@@ -677,4 +682,111 @@ int vp9_pack_pairs(const int32_t *coef, int W,
         }
     }
     return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Intra wavefront schedule: C mirror of recon_tpu._build_intra_schedule
+ * (the pass-B host product that dominated the pipelined pass-A stage).
+ * Walks the intra block records, computes each tx block's dependency
+ * level from the LW grid (level = 1 + max(level of read cells)), and
+ * emits compact entries [py, px, m, have_top, have_left, have_right,
+ * n_have_top, n_have_left] plus (level, sz) keys. The caller groups
+ * entries by (level, sz) with a stable sort — blocks within a level
+ * are mutually independent by construction.
+ * recs: [nrecs][36] int16 block records (row, col, tcs, bs, ..., intra
+ * at [6], tx [7], uvtx [8], modes [9..12], uvmode [13]).
+ * mode_conv: int8 [10][2][2] indexed [mode][have_left][have_top].
+ * lw: caller-zeroed int32 scratch [(r4 + 8) * (c4 + 8)].
+ * Returns the entry count, or -1 on capacity overflow. */
+int vp9_intra_schedule(const int16_t *recs, int nrecs,
+                       int cols, int rows, int ss_h, int ss_v,
+                       int plane, int r4, int c4,
+                       const int8_t *mode_conv, int32_t *lw,
+                       int16_t *ent_out, int32_t *key_out, int cap)
+{
+    const int lws = c4 + 8;
+    int n = 0;
+    if (plane != 0) { ss_h = ss_h; ss_v = ss_v; } else { ss_h = 0; ss_v = 0; }
+    for (int bi = 0; bi < nrecs; bi++) {
+        const int16_t *r = recs + (size_t)bi * 36;
+        if (!r[6])
+            continue;
+        int row = r[0], col = r[1], tcs = r[2], bs = r[3];
+        int w4, h4, end_x, end_y, tx;
+        if (plane == 0) {
+            w4 = bwh_tab[1][bs][0] * 2;
+            h4 = bwh_tab[1][bs][1] * 2;
+            end_x = 2 * (cols - col) < w4 ? 2 * (cols - col) : w4;
+            end_y = 2 * (rows - row) < h4 ? 2 * (rows - row) : h4;
+            tx = r[7];
+        } else {
+            int bw4 = bwh_tab[1][bs][0] * 2, bh4 = bwh_tab[1][bs][1] * 2;
+            w4 = bw4 >> ss_h;
+            h4 = bh4 >> ss_v;
+            end_x = (2 * (cols - col) < bw4 ? 2 * (cols - col) : bw4)
+                    >> ss_h;
+            end_y = (2 * (rows - row) < bh4 ? 2 * (rows - row) : bh4)
+                    >> ss_v;
+            tx = r[8];
+        }
+        int step = 1 << tx, sz = 4 << tx, k = sz / 4;
+        for (int y = 0; y < end_y; y += step) {
+            for (int x = 0; x < end_x; x += step) {
+                int mode, py, px, n_have_top, n_have_left;
+                if (plane == 0) {
+                    mode = (bs > 9 && tx == 0) ? r[9 + y * 2 + x] : r[9];
+                    py = row * 8 + y * 4;
+                    px = col * 8 + x * 4;
+                    n_have_top = ((cols - col) * 2 - x) * 4;
+                    n_have_left = ((rows - row) * 2 - y) * 4;
+                } else {
+                    mode = r[13];
+                    py = ((row * 8) >> ss_v) + y * 4;
+                    px = ((col * 8) >> ss_h) + x * 4;
+                    n_have_top = (((cols - col) << (ss_h ? 0 : 1)) - x)
+                                 * 4;
+                    n_have_left = (((rows - row) << (ss_v ? 0 : 1)) - y)
+                                  * 4;
+                }
+                int have_top = (row > 0 || y > 0);
+                int have_left = (col > tcs || x > 0);
+                int have_right = x < w4 - 1;
+                int m = mode_conv[mode * 4 + have_left * 2 + have_top];
+                int cy0 = py / 4, cx0 = px / 4;
+                int lvl = 0;
+                if (have_top && cy0) {
+                    int x0 = cx0 - 1 > 0 ? cx0 - 1 : 0;
+                    const int32_t *rowp = lw + (size_t)(cy0 - 1) * lws;
+                    for (int c = x0; c < cx0 + 2 * k; c++)
+                        if (rowp[c] > lvl)
+                            lvl = rowp[c];
+                }
+                if (have_left && cx0) {
+                    for (int rr = cy0; rr < cy0 + k; rr++) {
+                        int32_t v = lw[(size_t)rr * lws + cx0 - 1];
+                        if (v > lvl)
+                            lvl = v;
+                    }
+                }
+                lvl += 1;
+                for (int rr = cy0; rr < cy0 + k; rr++)
+                    for (int cc = cx0; cc < cx0 + k; cc++)
+                        lw[(size_t)rr * lws + cc] = lvl;
+                if (n >= cap)
+                    return -1;
+                int16_t *e = ent_out + (size_t)n * 8;
+                e[0] = (int16_t)py; e[1] = (int16_t)px;
+                e[2] = (int16_t)m; e[3] = (int16_t)have_top;
+                e[4] = (int16_t)have_left; e[5] = (int16_t)have_right;
+                e[6] = (int16_t)(n_have_top > 32000 ? 32000
+                                 : n_have_top);
+                e[7] = (int16_t)(n_have_left > 32000 ? 32000
+                                 : n_have_left);
+                key_out[(size_t)n * 2] = lvl;
+                key_out[(size_t)n * 2 + 1] = sz;
+                n++;
+            }
+        }
+    }
+    return n;
 }

@@ -13,7 +13,8 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
                                const int16_t *nb /* [n][2] */,
                                const int16_t *bc, const int32_t *qmul,
                                uint32_t *cnt /* [6][6][3] */,
-                               uint32_t *eobcnt /* [6][6][2] */)
+                               uint32_t *eobcnt /* [6][6][2] */,
+                               int32_t *nzc /* nonzero-coef counter */)
 {
     BoolDec *c = td->c;
     int sz = 4 << tx;
@@ -124,6 +125,7 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
             else cv = prod;
             if (is8) cv = (int16_t)cv;
             plane[(py + rc / sz) * plane_w + (px + rc % sz)] = cv;
+            if (cv) (*nzc)++;
         }
         if (++i >= n_coeffs) break;
         nnz = (1 + cache[nb[2 * (i - 1)]] + cache[nb[2 * (i - 1) + 1]]) >> 1;
@@ -199,9 +201,11 @@ static int decode_coeffs(Td *td)
             const int16_t *nb = s->t_scans_nb + (tx * 4 + txtp) * 2048;
             int ret = decode_coeffs_block(td, s->coef_y, W64, py, px,
                                           td->tx, is32, p, nnz, scan, nb,
-                                          ybc, qm, cnt, eobc);
+                                          ybc, qm, cnt, eobc,
+                                          &s->nnz_cnt[0]);
             a[a0 + x] = l[l0 + y] = ret ? 1 : 0;
             total |= ret ? 1 : 0;
+            if (ret) s->eob_cnt[0]++;
             s->eob_y[(row * 2 + y) * c16 + col * 2 + x] = ret;
             n += step * step;
         }
@@ -249,9 +253,11 @@ static int decode_coeffs(Td *td)
                 int ret = decode_coeffs_block(td, coefp, W64uv, py, px,
                                               td->uvtx, uis32, p, nnz,
                                               uvscan, uvnb, uvbc, qm + 2,
-                                              cnt, eobc);
+                                              cnt, eobc,
+                                              &s->nnz_cnt[1 + pl]);
                 au[au0 + x] = lu[lu0 + y] = ret ? 1 : 0;
                 total |= ret ? 1 : 0;
+                if (ret) s->eob_cnt[1 + pl]++;
                 eobp[((row * 2 >> s->ss_v) + y) * c16uv
                      + (col * 2 >> s->ss_h) + x] = ret;
             }

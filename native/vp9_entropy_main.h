@@ -433,6 +433,8 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
 {
     s->n_blocks = 0;
     s->error = 0;
+    for (int i = 0; i < 3; i++)
+        s->nnz_cnt[i] = s->eob_cnt[i] = 0;
 
     /* locate each tile's data */
     const uint8_t *tdata[64][64];
@@ -529,6 +531,10 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
             p += count_sizes[f];
         }
         total_blocks += jobs[tc].ctx.n_blocks;
+        for (int i = 0; i < 3; i++) {
+            s->nnz_cnt[i] += jobs[tc].ctx.nnz_cnt[i];
+            s->eob_cnt[i] += jobs[tc].ctx.eob_cnt[i];
+        }
     }
     /* compact the per-tile block regions into one contiguous run
      * (order restored host-side by a stable sort on (sb_row, tile)) */
