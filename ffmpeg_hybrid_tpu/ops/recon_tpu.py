@@ -697,7 +697,8 @@ def _pad_to_bucket(n, base=8, mult=4):
     return b
 
 
-@partial(jax.jit, static_argnames=("nb", "sz", "bpp"))
+@partial(jax.jit, static_argnames=("nb", "sz", "bpp"),
+         donate_argnums=(0,))
 def _intra_level_packed(plane, residual, packed, off, nb, sz, bpp):
     """One wavefront level from a packed compact-entry buffer.
     packed rows: [py, px, m, have_top, have_left, have_right,
@@ -986,6 +987,55 @@ def _fill_pairs(out, pos, val, n):
         out[:n, 2] = val
 
 
+def _pack_coef_merged(s, wide):
+    """Pack all three planes' nonzero coefficients (and eob cells) into
+    ONE position-offset pair buffer each: a single h2d transfer and a
+    single scatter rebuild every plane (the tunnel charges per
+    transfer, not just per byte). Positions are offset by each plane's
+    flat base; returns (cp, ep, geoms) or None without native pass A."""
+    from ..passa_native import count_pairs_native, pack_pairs_native
+    planes = [(s.coef_y, s.eob_y, s.txsz4),
+              (s.coef_u, s.eob_u, s.uvtx4),
+              (s.coef_v, s.eob_v, s.uvtx4)]
+    cc = getattr(s, "coef_counts", None)
+    if cc is None:
+        cc = []
+        for coef, eob4, txg in planes:
+            c = count_pairs_native(coef, eob4, txg)
+            if c is None:
+                return None
+            cc.append(c)
+    ncols = 4 if wide else 3
+    nc_tot = sum(c[0] for c in cc)
+    ne_tot = sum(c[1] for c in cc)
+    cp = np.zeros((_pad_to_bucket(nc_tot + 1, base=1024, mult=2), ncols),
+                  np.int16)
+    ep = np.zeros((_pad_to_bucket(ne_tot + 1, base=256, mult=2), 3),
+                  np.int16)
+    cp[:, 0] = -1
+    ep[:, 0] = -1
+    cbase = ebase = 0
+    co = eo = 0
+    geoms = []
+    for (coef, eob4, txg), (nc, ne) in zip(planes, cc):
+        pack_pairs_native(coef, eob4, txg, cp[co:co + nc],
+                          ep[eo:eo + ne], cbase, ebase)
+        geoms.append((coef.shape, eob4.shape, cbase, ebase))
+        co += nc
+        eo += ne
+        cbase += coef.size
+        ebase += eob4.size
+    return cp, ep, geoms
+
+
+@partial(jax.jit, static_argnames=("bc", "be", "H", "W", "r4", "c4"))
+def _slice_plane(flat_c, flat_e, bc, be, H, W, r4, c4):
+    """One dispatch: carve a plane's dense coef + eob grids out of the
+    merged flat scatters."""
+    return (flat_c[0, bc:bc + H * W].reshape(H, W),
+            flat_e[0, be:be + r4 * c4].reshape(r4, c4))
+
+
 def _pack_coef_host(coef, eob4, txg, wide=False, counts=None):
     """Pack the plane's nonzero dequantized coefficients and the eob
     grid as (position, value) int16 triples. The walk is eob-driven
@@ -1044,19 +1094,23 @@ def precompute_host(s):
     if _needs_golden_fallback(s):
         return
     h = s.header
-    pre = {"levels": [None, None], "pairs": [None] * 3, "lf": None}
+    pre = {"levels": [None, None], "pairs": [None] * 3,
+           "pairs_merged": None, "lf": None}
     with metrics.timer("recon.intra_sched"):
         pre["levels"][0] = _build_intra_schedule_fast(s, 0)
         pre["levels"][1] = _build_intra_schedule_fast(s, 1)
     with metrics.timer("recon.coef_pack"):
-        for plane_idx in range(3):
-            coef = (s.coef_y, s.coef_u, s.coef_v)[plane_idx]
-            eob4 = (s.eob_y, s.eob_u, s.eob_v)[plane_idx]
-            txg = s.txsz4 if plane_idx == 0 else s.uvtx4
-            cc = getattr(s, "coef_counts", None)
-            pre["pairs"][plane_idx] = _pack_coef_host(
-                coef, eob4, txg, wide=h.bpp > 8,
-                counts=cc[plane_idx] if cc else None)
+        merged = _pack_coef_merged(s, wide=h.bpp > 8) \
+            if getattr(s, "use_native", False) else None
+        if merged is not None:
+            pre["pairs_merged"] = merged
+        else:
+            for plane_idx in range(3):
+                coef = (s.coef_y, s.coef_u, s.coef_v)[plane_idx]
+                eob4 = (s.eob_y, s.eob_u, s.eob_v)[plane_idx]
+                txg = s.txsz4 if plane_idx == 0 else s.uvtx4
+                pre["pairs"][plane_idx] = _pack_coef_host(
+                    coef, eob4, txg, wide=h.bpp > 8)
     if h.filter_level and getattr(s, "use_native", False):
         try:
             from ..passa_native import lpf_record_native
@@ -1116,6 +1170,17 @@ def recon_frame(s):
             anchors = _scaled_anchor_grids(recs_dev, r4, c4, h.ss_h,
                                            h.ss_v)
 
+    merged = pre.get("pairs_merged") if pre else None
+    if merged is not None:
+        cp_m, ep_m, geoms_m = merged
+        with metrics.timer("recon.upload_coef"):
+            scat = _scatter_pairs32 if cp_m.shape[1] == 4 \
+                else _scatter_pairs16
+            Lc = sum(sh[0] * sh[1] for sh, _e, _b, _eb in geoms_m)
+            Le = sum(e[0] * e[1] for _sh, e, _b, _eb in geoms_m)
+            flat_c = scat(jnp.asarray(cp_m), 1, Lc)
+            flat_e = _scatter_pairs16(jnp.asarray(ep_m), 1, Le)
+
     outs = []
     for plane_idx in range(3):
         if plane_idx == 0:
@@ -1135,15 +1200,23 @@ def recon_frame(s):
             # 8bpp dctcoefs fit int16 (spec inter-pass wraparound);
             # ship only (position, value) pairs of the nonzero
             # coefficients and rebuild the dense planes on device
-            if pre is not None:
-                cp, ep = pre["pairs"][plane_idx]
+            if merged is not None:
+                sh, esh, bc, be = geoms_m[plane_idx]
+                coef_dev, eob_dev = _slice_plane(
+                    flat_c, flat_e, bc, be, sh[0], sh[1], esh[0],
+                    esh[1])
             else:
-                txg = s.txsz4 if plane_idx == 0 else s.uvtx4
-                cp, ep = _pack_coef_host(coef, eob4, txg, wide=bpp > 8)
-            scat = _scatter_pairs32 if cp.shape[1] == 4 \
-                else _scatter_pairs16
-            coef_dev = scat(jnp.asarray(cp), *coef.shape)
-            eob_dev = _scatter_pairs16(jnp.asarray(ep), *eob4.shape)
+                if pre is not None and pre["pairs"][plane_idx] \
+                        is not None:
+                    cp, ep = pre["pairs"][plane_idx]
+                else:
+                    txg = s.txsz4 if plane_idx == 0 else s.uvtx4
+                    cp, ep = _pack_coef_host(coef, eob4, txg,
+                                             wide=bpp > 8)
+                scat = _scatter_pairs32 if cp.shape[1] == 4 \
+                    else _scatter_pairs16
+                coef_dev = scat(jnp.asarray(cp), *coef.shape)
+                eob_dev = _scatter_pairs16(jnp.asarray(ep), *eob4.shape)
 
         if has_inter_frame:
             w, hh = cur.size

@@ -393,7 +393,10 @@ def count_pairs_native(coef, eob4, txg):
     return int(counts[0]), int(counts[1])
 
 
-def pack_pairs_native(coef, eob4, txg, cp_out, ep_out) -> bool:
+def pack_pairs_native(coef, eob4, txg, cp_out, ep_out, cbase=0,
+                      ebase=0) -> bool:
+    """cbase/ebase offset every emitted position — lets the three
+    planes pack into one merged buffer for a single upload+scatter."""
     if not available():
         return False
     r4, c4 = eob4.shape
@@ -402,6 +405,7 @@ def pack_pairs_native(coef, eob4, txg, cp_out, ep_out) -> bool:
     rc = fn(
         _p(coef, i32p), C.c_int(coef.shape[1]),
         _p(eob4, i32p), _p(txg, i8p), C.c_int(r4), C.c_int(c4),
+        C.c_int32(cbase), C.c_int32(ebase),
         _p(cp_out, i16p), C.c_int(cp_out.shape[0]),
         _p(ep_out, i16p), C.c_int(ep_out.shape[0]))
     if rc != 0:

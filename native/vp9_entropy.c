@@ -603,7 +603,7 @@ int vp9_count_pairs(const int32_t *coef, int W,
  * vallo). */
 int vp9_pack_pairs_wide(const int32_t *coef, int W,
                         const int32_t *eob4, const int8_t *txsz4,
-                        int r4, int c4,
+                        int r4, int c4, int32_t cbase, int32_t ebase,
                         int16_t *coef_out /* [capc][4] */, int capc,
                         int16_t *eob_out /* [cape][3] */, int cape)
 {
@@ -615,7 +615,7 @@ int vp9_pack_pairs_wide(const int32_t *coef, int W,
                 continue;
             if (ne >= cape)
                 return -1;
-            int32_t cell = r * c4 + c;
+            int32_t cell = ebase + r * c4 + c;
             eob_out[ne * 3 + 0] = (int16_t)(cell >> 16);
             eob_out[ne * 3 + 1] = (int16_t)(cell & 0xffff);
             eob_out[ne * 3 + 2] = (int16_t)eob;
@@ -630,7 +630,8 @@ int vp9_pack_pairs_wide(const int32_t *coef, int W,
                         continue;
                     if (nc >= capc)
                         return -1;
-                    int32_t pos = (int32_t)(base + (int64_t)y * W + x);
+                    int32_t pos = (int32_t)(cbase + base
+                                            + (int64_t)y * W + x);
                     coef_out[nc * 4 + 0] = (int16_t)(pos >> 16);
                     coef_out[nc * 4 + 1] = (int16_t)(pos & 0xffff);
                     coef_out[nc * 4 + 2] = (int16_t)(v >> 16);
@@ -645,7 +646,7 @@ int vp9_pack_pairs_wide(const int32_t *coef, int W,
 
 int vp9_pack_pairs(const int32_t *coef, int W,
                    const int32_t *eob4, const int8_t *txsz4,
-                   int r4, int c4,
+                   int r4, int c4, int32_t cbase, int32_t ebase,
                    int16_t *coef_out /* [capc][3] */, int capc,
                    int16_t *eob_out /* [cape][3] */, int cape)
 {
@@ -657,7 +658,7 @@ int vp9_pack_pairs(const int32_t *coef, int W,
                 continue;
             if (ne >= cape)
                 return -1;
-            int32_t cell = r * c4 + c;
+            int32_t cell = ebase + r * c4 + c;
             eob_out[ne * 3 + 0] = (int16_t)(cell >> 16);
             eob_out[ne * 3 + 1] = (int16_t)(cell & 0xffff);
             eob_out[ne * 3 + 2] = (int16_t)eob;
@@ -672,7 +673,8 @@ int vp9_pack_pairs(const int32_t *coef, int W,
                         continue;
                     if (nc >= capc)
                         return -1;
-                    int32_t pos = (int32_t)(base + (int64_t)y * W + x);
+                    int32_t pos = (int32_t)(cbase + base
+                                            + (int64_t)y * W + x);
                     coef_out[nc * 3 + 0] = (int16_t)(pos >> 16);
                     coef_out[nc * 3 + 1] = (int16_t)(pos & 0xffff);
                     coef_out[nc * 3 + 2] = (int16_t)v;
