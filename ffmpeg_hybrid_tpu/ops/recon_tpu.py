@@ -681,14 +681,6 @@ def _intra_batch_apply(plane, residual, d, sz, bpp):
     return plane.at[rr, cc].set(out, mode="drop")
 
 
-@partial(jax.jit, static_argnames=("sz", "bpp"))
-def _intra_level_jit(plane, residual, eidx, emask, econst, modes, pys,
-                     pxs, sz, bpp):
-    d = {"eidx": eidx, "emask": emask, "econst": econst, "modes": modes,
-         "pys": pys, "pxs": pxs}
-    return _intra_batch_apply(plane, residual, d, sz, bpp)
-
-
 def _pad_to_bucket(n, base=8, mult=4):
     """Coarse shape buckets to bound jit-compile variety."""
     b = base
@@ -697,71 +689,81 @@ def _pad_to_bucket(n, base=8, mult=4):
     return b
 
 
-@partial(jax.jit, static_argnames=("nb", "sz", "bpp"),
+@partial(jax.jit, static_argnames=("sizes", "caps", "bpp"),
          donate_argnums=(0,))
-def _intra_level_packed(plane, residual, packed, off, nb, sz, bpp):
-    """One wavefront level from a packed compact-entry buffer.
-    packed rows: [py, px, m, have_top, have_left, have_right,
-    n_have_top, n_have_left] int16; the edge gather spec is computed on
-    device (_edge_spec_dev). `off` is a traced row offset so every
-    level of a given bucket size shares one compiled executable."""
-    sl = jax.lax.dynamic_slice(packed, (off, 0), (nb, 8)).astype(jnp.int32)
-    eidx, emask, econst = _edge_spec_dev(sl, sz, plane.shape[1], bpp)
-    d = {"eidx": eidx, "emask": emask, "econst": econst,
-         "modes": sl[:, 2], "pys": sl[:, 0], "pxs": sl[:, 1]}
-    return _intra_batch_apply(plane, residual, d, sz, bpp)
+def _intra_scan(plane, residual, packed, L, sizes, caps, bpp):
+    """The whole intra wavefront of one plane in ONE dispatch.
+
+    packed is laid out as per-size slabs of L levels x cap rows each:
+    rows for size sizes[s] of level i live at
+    [L*sum(caps[:s]) + i*caps[s], caps[s]). Rows are [py, px, m,
+    have_top, have_left, have_right, n_have_top, n_have_left] int16;
+    unused slots hold inert rows (oob py/px -> scatter-dropped). A
+    fori_loop with a *traced* trip count walks the dependency levels,
+    so every frame of a given {sizes, caps, buffer-bucket} shape shares
+    one executable regardless of its level count."""
+    def body(i, pl):
+        base = 0
+        for sz, cap in zip(sizes, caps):
+            sl = jax.lax.dynamic_slice(
+                packed, (base + i * cap, 0), (cap, 8)).astype(jnp.int32)
+            eidx, emask, econst = _edge_spec_dev(sl, sz, pl.shape[1],
+                                                 bpp)
+            d = {"eidx": eidx, "emask": emask, "econst": econst,
+                 "modes": sl[:, 2], "pys": sl[:, 0], "pxs": sl[:, 1]}
+            pl = _intra_batch_apply(pl, residual, d, sz, bpp)
+            base = base + L * cap
+        return pl
+    return jax.lax.fori_loop(0, L, body, plane)
 
 
 def run_intra_plane(s, plane_dev, residual_dev, levels):
-    """Run the intra wavefront: one async dispatch per (level, size).
+    """Run the intra wavefront: ONE upload + ONE dispatch per plane.
 
-    All levels' entry metadata is packed host-side into one buffer per
-    block size and uploaded once; each level then dispatches a single
-    dynamic-slice kernel (traced offset). Shape buckets are coarse so
-    the jit cache converges after a few frames; dispatches chain
-    device-side without host syncs."""
+    The former per-(level, size) dispatch loop cost ~45 host dispatches
+    per frame (~0.06 ms each, ~2.8 ms/frame; a 1080p keyframe alone is
+    ~120 levels). All levels are packed host-side into per-size
+    [L, cap] slabs in a single buffer and the level loop runs on device
+    (_intra_scan). cap buckets are per-size maxima so the executable
+    cache converges after a few frames."""
     bpp = s.header.bpp
     Hp, Wp = plane_dev.shape
-    segs = {}       # sz -> list of packed segments
-    calls = []      # (sz, row offset, bucket rows) in wavefront order
-    offs = {}
-    with metrics.timer("intra.pack"):
-        for lvl in levels:
-            for sz, entries in lvl.items():
-                n = len(entries)
-                nb = _pad_to_bucket(n, base=8, mult=2)
-                seg = np.zeros((nb, 8), np.int16)
-                # pad rows: oob py/px (scatter-dropped), consts-only
-                # edges (no gathers), valid clamp inputs
-                seg[:, 0] = Hp + 64
-                seg[:, 1] = Wp + 64
-                seg[:, 2] = 2  # DC
-                seg[:, 6:8] = 1
-                seg[:n] = entries
-                segs.setdefault(sz, []).append(seg)
-                calls.append((sz, offs.get(sz, 0), nb))
-                offs[sz] = offs.get(sz, 0) + nb
-    if not calls:
+    L = len(levels)
+    maxn = {}
+    for lvl in levels:
+        for sz, entries in lvl.items():
+            n = len(entries)
+            if n:
+                maxn[sz] = max(maxn.get(sz, 0), n)
+    if not maxn:
         return plane_dev
+    with metrics.timer("intra.pack"):
+        sizes = tuple(sorted(maxn))
+        caps = tuple(_pad_to_bucket(maxn[sz], base=8, mult=2)
+                     for sz in sizes)
+        tot = _pad_to_bucket(L * sum(caps), base=64, mult=2)
+        buf = np.zeros((tot, 8), np.int16)
+        # inert rows: oob py/px (scatter-dropped), consts-only edges
+        # (no gathers), valid clamp inputs
+        buf[:, 0] = Hp + 64
+        buf[:, 1] = Wp + 64
+        buf[:, 2] = 2  # DC
+        buf[:, 6:8] = 1
+        base = 0
+        for sz, cap in zip(sizes, caps):
+            for i, lvl in enumerate(levels):
+                entries = lvl.get(sz)
+                if entries is not None and len(entries):
+                    o = base + i * cap
+                    buf[o:o + len(entries)] = entries
+            base += L * cap
     with metrics.timer("intra.upload"):
-        dev = {}
-        for sz, lst in segs.items():
-            buf = np.concatenate(lst, axis=0)
-            # bucket the total row count too, so the packed operand
-            # shape (and thus the compiled executable) converges
-            tot = _pad_to_bucket(buf.shape[0], base=64, mult=2)
-            if tot != buf.shape[0]:
-                pad = np.zeros((tot - buf.shape[0], 8), np.int16)
-                pad[:, 0] = Hp + 64   # inert rows (scatter-dropped)
-                pad[:, 1] = Wp + 64
-                pad[:, 2] = 2
-                pad[:, 6:8] = 1
-                buf = np.concatenate([buf, pad], axis=0)
-            dev[sz] = jnp.asarray(buf)
+        dev = jnp.asarray(buf)
+    metrics.add("intra.ncalls", 1)
+    metrics.add("intra.nrows", tot)
     with metrics.timer("intra.level_dispatch"):
-        for sz, off, nb in calls:
-            plane_dev = _intra_level_packed(plane_dev, residual_dev,
-                                            dev[sz], off, nb, sz, bpp)
+        plane_dev = _intra_scan(plane_dev, residual_dev, dev, L, sizes,
+                                caps, bpp)
     return plane_dev
 
 
