@@ -250,13 +250,15 @@ class VP9Decoder:
 
         key = (H64, W64, ss_h, ss_v)
         if self.use_native:
-            # 4-deep: the pipelined mode keeps up to 3 frames' buffers
-            # live (pass-B current, queued job, worker's in-progress)
+            # 6-deep: the 3-stage pipelined mode keeps up to 5 frames'
+            # buffers live (pass-A in-progress, qa slot, precompute
+            # current, qb slot, pass-B current) plus one of margin for
+            # in-flight async device uploads
             pool = getattr(self, "_geom_pool", None)
             if pool is None or pool[0] != key:
-                pool = (key, [alloc() for _ in range(4)], [0])
+                pool = (key, [alloc() for _ in range(6)], [0])
                 self._geom_pool = pool
-            gen = pool[1][pool[2][0] % 4]
+            gen = pool[1][pool[2][0] % 6]
             pool[2][0] += 1
             for name, arr in gen.items():
                 setattr(self, name, arr)
@@ -405,27 +407,42 @@ class VP9Decoder:
     def decode(self, data: bytes):
         """Decode one (non-superframe) packet. Returns list of Frames to
         output (0 or 1)."""
-        return self.decode_pass_b(self.decode_pass_a(data))
+        return self.decode_pass_b(self.precompute_job(
+            self.decode_pass_a(data)))
+
+    def precompute_job(self, job: "FrameJob") -> "FrameJob":
+        """Host precompute stage between pass A and pass B: intra
+        schedule build, coefficient pair packing, loop-filter schedule
+        recording. Pure function of the job snapshot (fresh per-frame
+        arrays + stateless native calls), so the pipelined mode runs it
+        on its own thread, overlapped with BOTH the next frame's pass A
+        and the previous frame's pass B."""
+        if job.ready is None and self.recon_backend == "tpu":
+            from ...ops import recon_tpu
+            with metrics.timer("decode.pass_b_precompute"):
+                recon_tpu.precompute_host(job)
+        return job
 
     def decode_stream(self, packets):
-        """Pipelined decode of an iterable of packets: pass A (host
-        entropy decode) of frame N+1 runs in a worker thread while pass B
-        (device uploads + dispatch) of frame N runs on the calling
-        thread. The pass-A chain is frame-serial by spec
-        (passA -> adapt_probs -> passA, reference: vp9.c:1821-1824) but
-        independent of pass B, which only consumes pass-A tensors and
-        device-resident reference planes — the TPU-native form of the
-        reference's frame threading (pthread_frame.c:501: header+entropy
-        of N+1 overlaps recon of N). Yields output Frames in order."""
+        """Pipelined decode of an iterable of packets: a 3-stage
+        pipeline over threads. Stage 1 (worker): pass A host entropy
+        decode of frame N+2 — frame-serial by spec (passA ->
+        adapt_probs -> passA, reference: vp9.c:1821-1824). Stage 2
+        (worker): pass-B host precompute of frame N+1 (pure function of
+        the stage-1 snapshot). Stage 3 (calling thread): pass B device
+        uploads + dispatch of frame N. This is the TPU-native form of
+        the reference's frame threading (pthread_frame.c:501:
+        header+entropy of N+1 overlaps recon of N), with the host
+        precompute split out so the entropy thread's critical path is
+        entropy decode alone. Yields output Frames in order."""
         import queue
         import threading
 
-        q: queue.Queue = queue.Queue(maxsize=1)
         err: list = []
         stop = threading.Event()
         _END = object()
 
-        def put(item):
+        def put(q, item):
             while not stop.is_set():
                 try:
                     q.put(item, timeout=0.05)
@@ -434,29 +451,56 @@ class VP9Decoder:
                     pass
             return False
 
-        def worker():
+        def get(q):
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
+            return _END
+
+        qa: queue.Queue = queue.Queue(maxsize=1)
+        qb: queue.Queue = queue.Queue(maxsize=1)
+
+        def worker_a():
             try:
                 for fd in packets:
-                    if stop.is_set() or not put(self.decode_pass_a(fd)):
+                    if stop.is_set() or not put(qa, self.decode_pass_a(fd)):
                         return
             except BaseException as e:  # noqa: BLE001 - propagated below
                 err.append(e)
             finally:
-                put(_END)
+                put(qa, _END)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        def worker_pre():
+            try:
+                while True:
+                    job = get(qa)
+                    if job is _END:
+                        break
+                    if not put(qb, self.precompute_job(job)):
+                        return
+            except BaseException as e:  # noqa: BLE001 - propagated below
+                err.append(e)
+            finally:
+                put(qb, _END)
+
+        ta = threading.Thread(target=worker_a, daemon=True)
+        tp = threading.Thread(target=worker_pre, daemon=True)
+        ta.start()
+        tp.start()
         try:
             while True:
-                job = q.get()
+                job = qb.get()
                 if job is _END:
                     break
                 yield from self.decode_pass_b(job)
         finally:
             # consumer may abandon the generator mid-stream (e.g. a
-            # time-budgeted benchmark): unblock and reap the worker
+            # time-budgeted benchmark): unblock and reap the workers
             stop.set()
-            t.join()
+            ta.join()
+            tp.join()
         if err:
             raise err[0]
 
@@ -582,13 +626,6 @@ class VP9Decoder:
         job.mblim_lut = self.mblim_lut.copy()
         job.recon_backend = self.recon_backend
         job.outputs = [] if h.invisible else [self.cur_frame_obj]
-
-        # pass-B host products that need no device: computed here so the
-        # pipelined mode overlaps them with the previous frame's uploads
-        if self.recon_backend == "tpu":
-            from ...ops import recon_tpu
-            with metrics.timer("decode.pass_b_precompute"):
-                recon_tpu.precompute_host(job)
 
         # reference slot rotation (reference: vp9.c:1688-1692, 1849-1851)
         # happens at end of pass A: the next frame's pass A (header, MV
