@@ -263,11 +263,8 @@ class VP9Decoder:
             for name, arr in gen.items():
                 setattr(self, name, arr)
             # grids whose stale content is NOT fully overwritten or
-            # masked must be re-zeroed
-            self.eob_y.fill(0)
-            self.eob_u.fill(0)
-            self.eob_v.fill(0)
-            self.lf_mask.fill(0)
+            # masked (eob planes, lf_mask) are re-zeroed inside
+            # vp9_decode_tiles, with the GIL released
         else:
             for name, arr in alloc().items():
                 setattr(self, name, arr)
@@ -465,7 +462,11 @@ class VP9Decoder:
         def worker_a():
             try:
                 for fd in packets:
-                    if stop.is_set() or not put(qa, self.decode_pass_a(fd)):
+                    if stop.is_set():
+                        return
+                    with metrics.timer("stage.a"):
+                        job = self.decode_pass_a(fd)
+                    if not put(qa, job):
                         return
             except BaseException as e:  # noqa: BLE001 - propagated below
                 err.append(e)
@@ -478,7 +479,9 @@ class VP9Decoder:
                     job = get(qa)
                     if job is _END:
                         break
-                    if not put(qb, self.precompute_job(job)):
+                    with metrics.timer("stage.pre"):
+                        job = self.precompute_job(job)
+                    if not put(qb, job):
                         return
             except BaseException as e:  # noqa: BLE001 - propagated below
                 err.append(e)
@@ -510,7 +513,8 @@ class VP9Decoder:
         host precomputation (intra schedule, coefficient packing, loop
         filter schedule). Returns a FrameJob snapshot that
         decode_pass_b can reconstruct independently of decoder state."""
-        h = parse_uncompressed_header(data, self)
+        with metrics.timer("decode.hdr_uncomp"):
+            h = parse_uncompressed_header(data, self)
 
         if h.show_existing_idx >= 0:
             f = self.refs[h.show_existing_idx]
@@ -581,7 +585,17 @@ class VP9Decoder:
         chdr = data[h.uncompressed_header_size:
                     h.uncompressed_header_size + h.compressed_header_size]
         self.probs = self.prob_ctx[c].copy()
-        self.coef11, _ = parse_compressed_header(chdr, h, self.probs)
+        with metrics.timer("decode.hdr_comp"):
+            done = False
+            if self.use_native:
+                from ...passa_native import parse_chdr_native
+                done = parse_chdr_native(chdr, h, self.probs)
+            if done:
+                from .probs import coef_full
+                self.coef11 = coef_full(self.probs.coef)
+            else:
+                self.coef11, _ = parse_compressed_header(chdr, h,
+                                                         self.probs)
 
         with metrics.timer("decode.setup_arrays"):
             self._setup_arrays()
@@ -619,13 +633,14 @@ class VP9Decoder:
         # mutates decoder state while pass B of this one may still run)
         job = FrameJob()
         job.ready = None
-        for a in _JOB_ATTRS:
-            setattr(job, a, getattr(self, a))
-        job.refs = list(self.refs)          # pre-rotation view
-        job.lim_lut = self.lim_lut.copy()   # refilled per frame
-        job.mblim_lut = self.mblim_lut.copy()
-        job.recon_backend = self.recon_backend
-        job.outputs = [] if h.invisible else [self.cur_frame_obj]
+        with metrics.timer("decode.snapshot"):
+            for a in _JOB_ATTRS:
+                setattr(job, a, getattr(self, a))
+            job.refs = list(self.refs)          # pre-rotation view
+            job.lim_lut = self.lim_lut.copy()   # refilled per frame
+            job.mblim_lut = self.mblim_lut.copy()
+            job.recon_backend = self.recon_backend
+            job.outputs = [] if h.invisible else [self.cur_frame_obj]
 
         # reference slot rotation (reference: vp9.c:1688-1692, 1849-1851)
         # happens at end of pass A: the next frame's pass A (header, MV

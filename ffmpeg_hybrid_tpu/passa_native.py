@@ -506,3 +506,38 @@ def intra_schedule_native(s, plane_idx, r4, c4):
     if n < 0:
         return None
     return ents[:n], keys[:n]
+
+
+def parse_chdr_native(data: bytes, h, probs) -> bool:
+    """Native compressed-header parse (txfm mode + all prob updates),
+    updating `probs` arrays in place and h.txfmmode/h.comppredmode —
+    mirrors header.parse_compressed_header (reference: vp9.c:908-1113).
+    Returns False when the native library is unavailable."""
+    if not available():
+        return False
+    interframe = not (h.keyframe or h.intraonly)
+    buf = np.frombuffer(data, np.uint8)
+    txfm = C.c_int32(0)
+    cpm = C.c_int32(0)
+    p = probs
+    rc = lib().vp9_parse_chdr(
+        _p(buf, u8p), C.c_int(len(data)),
+        C.c_int(int(h.lossless)), C.c_int(int(interframe)),
+        C.c_int(int(h.filtermode == 4)),          # FILTER_SWITCHABLE
+        C.c_int(int(getattr(h, "allowcompinter", 0) or 0)),
+        C.c_int(int(h.highprecisionmvs)),
+        C.byref(txfm), C.byref(cpm),
+        _p(p.tx8p, u8p), _p(p.tx16p, u8p), _p(p.tx32p, u8p),
+        _p(p.coef, u8p), _p(p.skip, u8p), _p(p.mv_mode, u8p),
+        _p(p.filter, u8p), _p(p.intra, u8p), _p(p.comp, u8p),
+        _p(p.single_ref, u8p), _p(p.comp_ref, u8p), _p(p.y_mode, u8p),
+        _p(p.partition, u8p), _p(p.mv_joint, u8p), _p(p.mv_sign, u8p),
+        _p(p.mv_classes, u8p), _p(p.mv_class0, u8p), _p(p.mv_bits, u8p),
+        _p(p.mv_class0_fp, u8p), _p(p.mv_fp, u8p),
+        _p(p.mv_class0_hp, u8p), _p(p.mv_hp, u8p))
+    if rc != 0:
+        raise ValueError("Marker bit was set")
+    h.txfmmode = txfm.value
+    if interframe:
+        h.comppredmode = cpm.value
+    return True

@@ -792,3 +792,199 @@ int vp9_intra_schedule(const int16_t *recs, int nrecs,
     }
     return n;
 }
+
+
+/* ------------------------------------------------------------------ */
+/* compressed-header parse: txfm mode + all probability updates        */
+/* (reference: vp9.c:908-1113; mirrors header.parse_compressed_header) */
+
+static const uint8_t chdr_inv_map_table[255] = {
+    7, 20, 33, 46, 59, 72, 85, 98, 111, 124, 137, 150, 163, 176, 189,
+    202, 215, 228, 241, 254, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11,
+    12, 13, 14, 15, 16, 17, 18, 19, 21, 22, 23, 24, 25, 26, 27,
+    28, 29, 30, 31, 32, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43,
+    44, 45, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 60,
+    61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 73, 74, 75, 76,
+    77, 78, 79, 80, 81, 82, 83, 84, 86, 87, 88, 89, 90, 91, 92,
+    93, 94, 95, 96, 97, 99, 100, 101, 102, 103, 104, 105, 106, 107, 108,
+    109, 110, 112, 113, 114, 115, 116, 117, 118, 119, 120, 121, 122, 123, 125,
+    126, 127, 128, 129, 130, 131, 132, 133, 134, 135, 136, 138, 139, 140, 141,
+    142, 143, 144, 145, 146, 147, 148, 149, 151, 152, 153, 154, 155, 156, 157,
+    158, 159, 160, 161, 162, 164, 165, 166, 167, 168, 169, 170, 171, 172, 173,
+    174, 175, 177, 178, 179, 180, 181, 182, 183, 184, 185, 186, 187, 188, 190,
+    191, 192, 193, 194, 195, 196, 197, 198, 199, 200, 201, 203, 204, 205, 206,
+    207, 208, 209, 210, 211, 212, 213, 214, 216, 217, 218, 219, 220, 221, 222,
+    223, 224, 225, 226, 227, 229, 230, 231, 232, 233, 234, 235, 236, 237, 238,
+    239, 240, 242, 243, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253, 253
+};
+
+static inline int chdr_inv_recenter(int v, int m)
+{
+    if (v > 2 * m) return v;
+    if (v & 1) return m - ((v + 1) >> 1);
+    return m + (v >> 1);
+}
+
+static inline int chdr_uint(BoolDec *c, int n)
+{
+    int v = 0;
+    while (n--) v = (v << 1) | bd_bit(c);
+    return v;
+}
+
+/* subexp delta update, ungated (reference: vp9.c:399-455) */
+static int chdr_update_prob(BoolDec *c, int p)
+{
+    int d;
+    if (!bd_bit(c)) d = chdr_uint(c, 4);
+    else if (!bd_bit(c)) d = chdr_uint(c, 4) + 16;
+    else if (!bd_bit(c)) d = chdr_uint(c, 5) + 32;
+    else {
+        d = chdr_uint(c, 7);
+        if (d >= 65) d = (d << 1) - 65 + bd_bit(c);
+        d += 64;
+    }
+    int m = chdr_inv_map_table[d];
+    if (p <= 128) return 1 + chdr_inv_recenter(m, p - 1);
+    return 255 - chdr_inv_recenter(m, 255 - p);
+}
+
+#define UPD(cell) do { \
+        if (bd_prob(c, 252)) (cell) = (uint8_t)chdr_update_prob(c, (cell)); \
+    } while (0)
+
+/* 7-bit mv prob update (NOT subexp; reference: vp9.c:1063) */
+#define UPD_MV(cell) do { \
+        if (bd_prob(c, 252)) (cell) = (uint8_t)((chdr_uint(c, 7) << 1) | 1); \
+    } while (0)
+
+int vp9_parse_chdr(const uint8_t *data, int size,
+                   int lossless, int interframe, int filter_switchable,
+                   int allowcompinter, int highprecisionmvs,
+                   int32_t *txfmmode_out, int32_t *comppredmode_out,
+                   uint8_t *tx8p /* [2] */, uint8_t *tx16p /* [2][2] */,
+                   uint8_t *tx32p /* [2][3] */,
+                   uint8_t *coef /* [4][2][2][6][6][3] */,
+                   uint8_t *skip /* [3] */, uint8_t *mv_mode /* [7][3] */,
+                   uint8_t *filter /* [4][2] */, uint8_t *intra /* [4] */,
+                   uint8_t *comp /* [5] */,
+                   uint8_t *single_ref /* [5][2] */,
+                   uint8_t *comp_ref /* [5] */,
+                   uint8_t *y_mode /* [4][9] */,
+                   uint8_t *partition /* [4][4][3] */,
+                   uint8_t *mv_joint /* [3] */, uint8_t *mv_sign /* [2] */,
+                   uint8_t *mv_classes /* [2][10] */,
+                   uint8_t *mv_class0 /* [2] */,
+                   uint8_t *mv_bits /* [2][10] */,
+                   uint8_t *mv_class0_fp /* [2][2][3] */,
+                   uint8_t *mv_fp /* [2][3] */,
+                   uint8_t *mv_class0_hp /* [2] */,
+                   uint8_t *mv_hp /* [2] */)
+{
+    BoolDec c_s, *c = &c_s;
+    bd_init(c, data, size);
+    if (bd_bit(c))
+        return -2;                       /* marker bit set */
+
+    int txfmmode;
+    if (lossless) {
+        txfmmode = 0;                    /* TX_4X4 */
+    } else {
+        txfmmode = chdr_uint(c, 2);
+        if (txfmmode == 3)
+            txfmmode += bd_bit(c);
+        if (txfmmode == 4) {             /* TX_SWITCHABLE */
+            for (int i = 0; i < 2; i++)
+                UPD(tx8p[i]);
+            for (int i = 0; i < 2; i++)
+                for (int j = 0; j < 2; j++)
+                    UPD(tx16p[i * 2 + j]);
+            for (int i = 0; i < 2; i++)
+                for (int j = 0; j < 3; j++)
+                    UPD(tx32p[i * 3 + j]);
+        }
+    }
+    *txfmmode_out = txfmmode;
+
+    /* coef prob updates; each cell is touched at most once, so the
+     * in-place update is equivalent to the reference's old/new split */
+    for (int i = 0; i < 4; i++) {
+        if (bd_bit(c)) {
+            for (int j = 0; j < 2; j++)
+                for (int k = 0; k < 2; k++)
+                    for (int l = 0; l < 6; l++)
+                        for (int m = 0; m < 6; m++) {
+                            if (m >= 3 && l == 0)   /* dc: 3 pt only */
+                                break;
+                            for (int n = 0; n < 3; n++)
+                                UPD(coef[((((i * 2 + j) * 2 + k) * 6
+                                           + l) * 6 + m) * 3 + n]);
+                        }
+        }
+        if (txfmmode == i)
+            break;
+    }
+
+    for (int i = 0; i < 3; i++)
+        UPD(skip[i]);
+
+    if (interframe) {
+        for (int i = 0; i < 7; i++)
+            for (int j = 0; j < 3; j++)
+                UPD(mv_mode[i * 3 + j]);
+        if (filter_switchable)
+            for (int i = 0; i < 4; i++)
+                for (int j = 0; j < 2; j++)
+                    UPD(filter[i * 2 + j]);
+        for (int i = 0; i < 4; i++)
+            UPD(intra[i]);
+        int comppredmode = 0;            /* PRED_SINGLEREF */
+        if (allowcompinter) {
+            comppredmode = bd_bit(c);
+            if (comppredmode)
+                comppredmode += bd_bit(c);
+            if (comppredmode == 2)       /* PRED_SWITCHABLE */
+                for (int i = 0; i < 5; i++)
+                    UPD(comp[i]);
+        }
+        if (comppredmode != 1)           /* != PRED_COMPREF */
+            for (int i = 0; i < 5; i++) {
+                UPD(single_ref[i * 2 + 0]);
+                UPD(single_ref[i * 2 + 1]);
+            }
+        if (comppredmode != 0)           /* != PRED_SINGLEREF */
+            for (int i = 0; i < 5; i++)
+                UPD(comp_ref[i]);
+        *comppredmode_out = comppredmode;
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 9; j++)
+                UPD(y_mode[i * 9 + j]);
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++)
+                for (int k = 0; k < 3; k++)
+                    UPD(partition[((3 - i) * 4 + j) * 3 + k]);
+        for (int i = 0; i < 3; i++)
+            UPD_MV(mv_joint[i]);
+        for (int i = 0; i < 2; i++) {
+            UPD_MV(mv_sign[i]);
+            for (int j = 0; j < 10; j++)
+                UPD_MV(mv_classes[i * 10 + j]);
+            UPD_MV(mv_class0[i]);
+            for (int j = 0; j < 10; j++)
+                UPD_MV(mv_bits[i * 10 + j]);
+        }
+        for (int i = 0; i < 2; i++) {
+            for (int j = 0; j < 2; j++)
+                for (int k = 0; k < 3; k++)
+                    UPD_MV(mv_class0_fp[(i * 2 + j) * 3 + k]);
+            for (int j = 0; j < 3; j++)
+                UPD_MV(mv_fp[i * 3 + j]);
+        }
+        if (highprecisionmvs)
+            for (int i = 0; i < 2; i++) {
+                UPD_MV(mv_class0_hp[i]);
+                UPD_MV(mv_hp[i]);
+            }
+    }
+    return 0;
+}

@@ -436,6 +436,19 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
     for (int i = 0; i < 3; i++)
         s->nnz_cnt[i] = s->eob_cnt[i] = 0;
 
+    /* re-zero the pooled grids whose stale content is not fully
+     * overwritten or masked (moved here from the Python _setup_arrays
+     * fills: this runs with the GIL released) */
+    {
+        int r4 = s->sb_rows * 16, c4 = s->sb_cols * 16;
+        int r4u = r4 >> s->ss_v, c4u = c4 >> s->ss_h;
+        memset(s->eob_y, 0, (size_t)r4 * c4 * sizeof(int32_t));
+        memset(s->eob_u, 0, (size_t)r4u * c4u * sizeof(int32_t));
+        memset(s->eob_v, 0, (size_t)r4u * c4u * sizeof(int32_t));
+        memset(s->lf_mask, 0, (size_t)s->sb_rows * s->sb_cols
+                               * 2 * 2 * 8 * 4 * sizeof(int32_t));
+    }
+
     /* locate each tile's data */
     const uint8_t *tdata[64][64];
     int tsize[64][64];
