@@ -140,7 +140,7 @@ class FrameJob:
             "eob_u", "eob_v", "txsz4", "txtype4", "uvtx4", "inter4",
             "inter4uv", "mv4", "uvmv4", "ref4", "comp4", "filter4",
             "lf_level", "lf_mask", "cols", "rows", "sb_cols", "sb_rows",
-            "ss_h", "ss_v", "use_native", "coef_counts"))
+            "ss_h", "ss_v", "use_native", "coef_counts", "coef_pairs"))
 
     def __init__(self):
         self.pre = None
@@ -152,7 +152,7 @@ _JOB_ATTRS = (
     "eob_v", "txsz4", "txtype4", "uvtx4", "inter4", "inter4uv", "mv4",
     "uvmv4", "ref4", "comp4", "filter4", "lf_level", "lf_mask",
     "cols", "rows", "sb_cols", "sb_rows", "ss_h", "ss_v", "use_native",
-    "coef_counts")
+    "coef_counts", "coef_pairs")
 
 
 class VP9Decoder:
@@ -181,6 +181,24 @@ class VP9Decoder:
     def counts_factory(self):
         return Counts()
 
+    def _reset_above_ctx(self):
+        """Per-frame reset of the above-ctx subset that carries state
+        (reference: vp9.c:1720-1730); also used to restart pass A after
+        a pair-buffer overflow retry."""
+        cols = self.cols
+        h = self.header
+        sb_cols = self.sb_cols
+        self.above_partition_ctx[:cols] = 0
+        self.above_skip_ctx[:cols] = 0
+        if h.keyframe or h.intraonly:
+            self.above_mode_ctx[:cols * 2] = 2  # DC_PRED
+        else:
+            self.above_mode_ctx[:cols] = 10  # NEARESTMV
+        self.above_y_nnz_ctx[:sb_cols * 16] = 0
+        self.above_uv_nnz_ctx[0, :sb_cols * 16 >> self.ss_h] = 0
+        self.above_uv_nnz_ctx[1, :sb_cols * 16 >> self.ss_h] = 0
+        self.above_segpred_ctx[:cols] = 0
+
     def _setup_arrays(self):
         sb_cols, sb_rows = self.sb_cols, self.sb_rows
         n8 = sb_cols * 8
@@ -200,18 +218,8 @@ class VP9Decoder:
             self.above_y_nnz_ctx = np.zeros(2 * n8, np.uint8)
             self.above_uv_nnz_ctx = np.zeros((2, 2 * n8), np.uint8)
             self.above_mv_ctx = np.zeros((2 * n8 + 2, 2, 2), np.int32)
-        cols = self.cols
+        self._reset_above_ctx()
         h = self.header
-        self.above_partition_ctx[:cols] = 0
-        self.above_skip_ctx[:cols] = 0
-        if h.keyframe or h.intraonly:
-            self.above_mode_ctx[:cols * 2] = 2  # DC_PRED
-        else:
-            self.above_mode_ctx[:cols] = 10  # NEARESTMV
-        self.above_y_nnz_ctx[:sb_cols * 16] = 0
-        self.above_uv_nnz_ctx[0, :sb_cols * 16 >> self.ss_h] = 0
-        self.above_uv_nnz_ctx[1, :sb_cols * 16 >> self.ss_h] = 0
-        self.above_segpred_ctx[:cols] = 0
         # per-frame output tensors.  With the native pass A the big
         # dense buffers are drawn from a small rotating pool at constant
         # geometry: the C decoder zeroes each coded block's coefficient
@@ -226,7 +234,15 @@ class VP9Decoder:
         r4u, c4u = r4 >> ss_v, c4 >> ss_h
 
         def alloc():
+            # pair-emission buffers: capacity for 1/3 of all
+            # coefficients nonzero (observed content peaks ~12%; the
+            # native decode retries densely on overflow), exact bound
+            # for the eob cells
+            npix = H64 * W64 + 2 * ((H64 >> ss_v) * (W64 >> ss_h))
+            ncell = r4 * c4 + 2 * r4u * c4u
             return {
+                "coef_pairs_buf": np.zeros(((npix // 3) * 4,), np.int16),
+                "eob_pairs_buf": np.zeros((ncell, 3), np.int16),
                 "coef_y": np.zeros((H64, W64), np.int32),
                 "coef_u": np.zeros((H64 >> ss_v, W64 >> ss_h), np.int32),
                 "coef_v": np.zeros((H64 >> ss_v, W64 >> ss_h), np.int32),
@@ -614,6 +630,7 @@ class VP9Decoder:
         tile_data = data[h.uncompressed_header_size
                          + h.compressed_header_size:]
         self.coef_counts = None  # set by the native pass A
+        self.coef_pairs = None    # set by the native pass A (TPU mode)
         with metrics.timer("decode.pass_a"):
             if self.use_native:
                 from ...passa_native import decode_tiles_native

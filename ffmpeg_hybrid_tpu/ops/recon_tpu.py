@@ -989,6 +989,32 @@ def _fill_pairs(out, pos, val, n):
         out[:n, 2] = val
 
 
+def _merged_from_pairs(s):
+    """Build the merged (cp, ep, geoms) upload from the pair rows the
+    native pass A emitted during the coefficient decode itself (Ctx
+    emit_pairs mode): no dense-plane walk at all — just pad the rows
+    into the coarse shape buckets the scatter executables expect."""
+    pairs = getattr(s, "coef_pairs", None)
+    if pairs is None:
+        return None
+    cp_src, ep_src = pairs
+    nc, ne = len(cp_src), len(ep_src)
+    cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2),
+                   cp_src.shape[1]), np.int16)
+    ep = np.zeros((_pad_to_bucket(ne + 1, base=256, mult=2), 3),
+                  np.int16)
+    cp[:, 0] = -1
+    ep[:, 0] = -1
+    cp[:nc] = cp_src
+    ep[:ne] = ep_src
+    ys, us = s.coef_y.size, s.coef_u.size
+    ey, eu = s.eob_y.size, s.eob_u.size
+    geoms = [(s.coef_y.shape, s.eob_y.shape, 0, 0),
+             (s.coef_u.shape, s.eob_u.shape, ys, ey),
+             (s.coef_v.shape, s.eob_v.shape, ys + us, ey + eu)]
+    return cp, ep, geoms
+
+
 def _pack_coef_merged(s, wide):
     """Pack all three planes' nonzero coefficients (and eob cells) into
     ONE position-offset pair buffer each: a single h2d transfer and a
@@ -1102,8 +1128,9 @@ def precompute_host(s):
         pre["levels"][0] = _build_intra_schedule_fast(s, 0)
         pre["levels"][1] = _build_intra_schedule_fast(s, 1)
     with metrics.timer("recon.coef_pack"):
-        merged = _pack_coef_merged(s, wide=h.bpp > 8) \
-            if getattr(s, "use_native", False) else None
+        merged = _merged_from_pairs(s)
+        if merged is None and getattr(s, "use_native", False):
+            merged = _pack_coef_merged(s, wide=h.bpp > 8)
         if merged is not None:
             pre["pairs_merged"] = merged
         else:
@@ -1173,6 +1200,11 @@ def recon_frame(s):
                                            h.ss_v)
 
     merged = pre.get("pairs_merged") if pre else None
+    if merged is None:
+        # no precompute ran for this job (direct decode_pass_b use):
+        # the emitted pairs are still the only valid coefficient source
+        # in emit mode — the dense planes were never written
+        merged = _merged_from_pairs(s)
     if merged is not None:
         cp_m, ep_m, geoms_m = merged
         with metrics.timer("recon.upload_coef"):

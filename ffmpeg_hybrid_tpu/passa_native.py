@@ -77,7 +77,14 @@ class NativeCtx(C.Structure):
             "c_mv_bits", "c_mv_c0fp", "c_mv_fp", "c_mv_c0hp", "c_mv_hp")]
         + [("blocks_out", i16p), ("max_blocks", C.c_int32),
            ("n_blocks", C.c_int32), ("error", C.c_int32),
-           ("nnz_cnt", C.c_int32 * 3), ("eob_cnt", C.c_int32 * 3)]
+           ("nnz_cnt", C.c_int32 * 3), ("eob_cnt", C.c_int32 * 3),
+           # direct (pos, value) pair emission (TPU pass-B mode)
+           ("emit_pairs", C.c_int32), ("pairs_wide", C.c_int32),
+           ("pairs_out", i16p), ("pairs_cap", C.c_int32),
+           ("n_pairs", C.c_int32), ("eobp_out", i16p),
+           ("eobp_cap", C.c_int32), ("n_eobp", C.c_int32),
+           ("cbase", C.c_int32 * 3), ("ebase", C.c_int32 * 3),
+           ("cur_cbase", C.c_int32), ("skip_counts", C.c_int32)]
     )
 
 
@@ -302,10 +309,59 @@ def decode_tiles_native(s, data: bytes) -> bool:
     ctx.blocks_out = _p(blocks, i16p)
     ctx.max_blocks = max_blocks
 
+    # direct (pos, value) pair emission: the TPU pass B consumes the
+    # merged pair buffers, never the dense coef planes, so pass A emits
+    # the upload rows itself (skipping the dense splats and the
+    # separate pack pass). Disabled for the golden backend and for
+    # invalid-scale frames (golden fallback reads dense planes).
+    emit = (getattr(s, "recon_backend", None) == "tpu"
+            and getattr(s, "coef_pairs_buf", None) is not None
+            and not getattr(s, "_emit_disable", False)
+            and not any(sc[0] == -1
+                        for sc in getattr(s, "mvscale", [])))
+    s.coef_pairs = None
+    pbuf = ebuf = None
+    if emit:
+        wide = h.bpp > 8
+        pw = 4 if wide else 3
+        pbuf = s.coef_pairs_buf
+        ebuf = s.eob_pairs_buf
+        ctx.emit_pairs = 1
+        ctx.pairs_wide = int(wide)
+        ctx.pairs_out = _p(pbuf, i16p)
+        ctx.pairs_cap = pbuf.size // pw
+        ctx.eobp_out = _p(ebuf, i16p)
+        ctx.eobp_cap = ebuf.shape[0]
+        ys, us = s.coef_y.size, s.coef_u.size
+        ey, eu = s.eob_y.size, s.eob_u.size
+        ctx.cbase[0], ctx.cbase[1], ctx.cbase[2] = 0, ys, ys + us
+        ctx.ebase[0], ctx.ebase[1], ctx.ebase[2] = 0, ey, ey + eu
+
+    # backward adaptation (the only counts consumer) runs iff
+    # refreshctx && !parallelmode (reference: vp9.c:1821-1824)
+    ctx.skip_counts = int(not (h.refreshctx and not h.parallelmode))
+
     buf = np.frombuffer(data, np.uint8)
     rc = lib().vp9_decode_tiles(C.byref(ctx), _p(buf, u8p), len(data))
+    if rc == -3:
+        # pathological frame: >1/3 of all coefficients nonzero. Re-run
+        # densely; safe because pass A is restartable (bool coders
+        # re-init from the packet, every per-frame output grid is
+        # rewritten, and the above-ctx subset that carries state is
+        # re-reset here exactly as at frame entry).
+        s._reset_above_ctx()
+        s.native_counts = s.counts_factory()
+        s._emit_disable = True
+        try:
+            return decode_tiles_native(s, data)
+        finally:
+            s._emit_disable = False
     if rc != 0:
         raise ValueError(f"native pass A failed: {rc}")
+    if emit:
+        pw = 4 if ctx.pairs_wide else 3
+        s.coef_pairs = (pbuf[:ctx.n_pairs * pw].reshape(ctx.n_pairs, pw),
+                        ebuf[:ctx.n_eobp])
 
     # keep the raw record array for the recon backends; with threaded
     # tile columns the per-tile runs are concatenated, so restore decode

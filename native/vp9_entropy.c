@@ -14,62 +14,104 @@
 #include <stdint.h>
 #include <string.h>
 
+/* optional phase profiling (build with -DVP9_PROF): cycle counters per
+ * decode phase, fetched via vp9_prof_get. Zero overhead otherwise. */
+uint64_t vp9_prof[8];
+void vp9_prof_get(uint64_t *out)
+{
+    for (int i = 0; i < 8; i++) out[i] = vp9_prof[i];
+}
+#ifdef VP9_PROF
+static inline uint64_t prof_now(void)
+{
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+}
+#define PROF(i, ...) do { \
+        uint64_t prof_t0_ = prof_now(); __VA_ARGS__; \
+        __atomic_fetch_add(&vp9_prof[i], prof_now() - prof_t0_, \
+                           __ATOMIC_RELAXED); \
+    } while (0)
+#else
+#define PROF(i, ...) do { __VA_ARGS__; } while (0)
+#endif
+
 /* ------------------------------------------------------------------ */
 /* boolean range decoder (spec form, matches rac.py)                   */
 
+/* Bool (range) decoder with buffered 16-bit refills (the form of the
+ * reference's vpx_rac, libavcodec/vpx_rac.h): code_word holds the
+ * active 8-bit window at bits [23:16] plus up to 16 prefetched stream
+ * bits below; `bits` is minus the number of prefetched bits not yet
+ * consumed. Renorm shifts may run past the prefetched region (zeros
+ * slide in); the next refill ORs the real bits into exactly those
+ * positions (`<< bits`), correcting them before any read. Past the end
+ * of the buffer the zero slide-in IS the spec's zero-extension; vbits
+ * counts the virtual (zero) bits among the prefetched ones, so the
+ * consumed-overread count is vbits + bits exactly as the former
+ * per-bit implementation counted it. Renorm stays eager (at symbol
+ * end, as before), keeping the consumption timing - and thus
+ * bd_is_end's trigger point on corrupt streams - bit-identical. */
 typedef struct {
     const uint8_t *data;
     int size;
-    int byte_pos;
-    int bit_pos;
-    unsigned value;
-    unsigned range;
-    int overread;
+    int pos;             /* next byte to prefetch */
+    unsigned range;      /* kept in [128, 255] between symbols */
+    unsigned code_word;
+    int bits;            /* -(prefetched-not-consumed bits) */
+    int vbits;           /* zero bits among those prefetched */
 } BoolDec;
 
 static void bd_init(BoolDec *c, const uint8_t *data, int size)
 {
     c->data = data;
     c->size = size;
-    c->byte_pos = 0;
-    c->bit_pos = 0;
-    c->value = 0;
+    c->pos = 0;
     c->range = 255;
-    c->overread = 0;
-    for (int i = 0; i < 8; i++) {
-        int b = 0;
-        if (c->byte_pos < c->size) {
-            b = (c->data[c->byte_pos] >> (7 - c->bit_pos)) & 1;
-            if (++c->bit_pos == 8) { c->bit_pos = 0; c->byte_pos++; }
-        } else c->overread++;
-        c->value = (c->value << 1) | b;
+    c->bits = -16;
+    c->vbits = 0;
+    unsigned w = 0;
+    for (int i = 0; i < 3; i++) {
+        w <<= 8;
+        if (c->pos < c->size) w |= c->data[c->pos++];
+        else c->vbits += 8;
     }
+    c->code_word = w;
 }
 
-static inline int bd_next_bit(BoolDec *c)
+static inline void bd_renorm(BoolDec *c)
 {
-    if (c->byte_pos >= c->size) { c->overread++; return 0; }
-    int b = (c->data[c->byte_pos] >> (7 - c->bit_pos)) & 1;
-    if (++c->bit_pos == 8) { c->bit_pos = 0; c->byte_pos++; }
-    return b;
+    if (c->range < 128) {
+        int shift = __builtin_clz(c->range) - 24;
+        int bits = c->bits + shift;
+        c->range <<= shift;
+        c->code_word <<= shift;
+        if (bits >= 0 && c->pos < c->size) {
+            unsigned v = (unsigned)c->data[c->pos++] << 8;
+            if (c->pos < c->size) v |= c->data[c->pos++];
+            else c->vbits += 8;
+            c->code_word |= v << bits;
+            bits -= 16;
+        }
+        c->bits = bits;
+    }
 }
 
 static inline int bd_prob(BoolDec *c, int prob)
 {
     unsigned split = 1 + (((c->range - 1) * (unsigned)prob) >> 8);
+    unsigned split_hi = split << 16;
     int bit;
-    if (c->value < split) {
+    if (c->code_word < split_hi) {
         bit = 0;
         c->range = split;
     } else {
         bit = 1;
         c->range -= split;
-        c->value -= split;
+        c->code_word -= split_hi;
     }
-    while (c->range < 128) {
-        c->range <<= 1;
-        c->value = (c->value << 1) | bd_next_bit(c);
-    }
+    bd_renorm(c);
     return bit;
 }
 
@@ -88,7 +130,13 @@ static inline int bd_tree(BoolDec *c, const int8_t (*tree)[2],
 
 static inline int bd_is_end(const BoolDec *c)
 {
-    return c->byte_pos >= c->size && c->overread > 10;
+    /* consumed zero bits past the stream end: virtual bits prefetched
+     * minus those still buffered, plus any overshift past the whole
+     * prefetched region (pure zero slide-ins) */
+    int buffered = c->bits < 0 ? -c->bits : 0;
+    int vbuf = c->vbits < buffered ? c->vbits : buffered;
+    int overread = c->vbits - vbuf + (c->bits > 0 ? c->bits : 0);
+    return overread > 10;
 }
 
 /* ------------------------------------------------------------------ */
@@ -275,6 +323,24 @@ typedef struct {
      * (pos,value) pair packer run single-pass with exact capacity */
     int32_t nnz_cnt[3];
     int32_t eob_cnt[3];
+    /* direct (pos, value) pair emission (TPU pass-B mode): pass A
+     * writes the merged upload buffers itself during the coefficient
+     * decode; the dense coef-plane writes/zeroing and the per-4x4
+     * metadata grid splats are skipped (pass B rebuilds all grids on
+     * device from the block records). Positions carry the per-plane
+     * flat offsets cbase/ebase of the merged layout (recon_tpu
+     * _scatter_pairs16/32 row format). */
+    int32_t emit_pairs;    /* 0: dense planes; 1: emit pairs */
+    int32_t pairs_wide;    /* pair row = 4 int16 (val hi/lo) vs 3 */
+    int16_t *pairs_out;
+    int32_t pairs_cap, n_pairs;
+    int16_t *eobp_out;     /* [cap][3]: cell hi/lo, eob */
+    int32_t eobp_cap, n_eobp;
+    int32_t cbase[3], ebase[3];
+    int32_t cur_cbase;     /* cbase of the plane being decoded */
+    int32_t skip_counts;   /* frame-parallel mode: adaptation never
+                            * reads the counts; skip the per-symbol
+                            * increments in the coefficient hot loop */
 } Ctx;
 
 /* per-tile/block decoder state */

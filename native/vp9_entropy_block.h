@@ -6,6 +6,19 @@
 
 /* ---------------- coefficient decode ------------------------------ */
 
+static inline void emit_eob_pair(Ctx *s, int32_t cell, int eob)
+{
+    if (s->n_eobp >= s->eobp_cap) {
+        s->error = -3;
+        return;
+    }
+    int16_t *o = s->eobp_out + (size_t)s->n_eobp * 3;
+    o[0] = (int16_t)(cell >> 16);
+    o[1] = (int16_t)(cell & 0xffff);
+    o[2] = (int16_t)eob;
+    s->n_eobp++;
+}
+
 static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
                                int py, int px, int tx, int is32,
                                const uint8_t *p11 /* [6][6][11] */,
@@ -23,23 +36,29 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
     int i = 0, band = 0;
     int band_left = bc[0];
     const uint8_t *tp = p11 + (0 * 6 + nnz) * 11;
-    int bpp = td->s->bpp;
+    Ctx *s = td->s;
+    int bpp = s->bpp;
     int is8 = bpp == 8;
+    int emit = s->emit_pairs;
+    int nc = !s->skip_counts;   /* counts feed backward adaptation;
+                                 * dead in frame-parallel mode */
     memset(cache, 0, n_coeffs);
-    /* own the block region: callers reuse the dense plane across
-     * frames without re-zeroing (blocks with eob==0 are masked out
-     * downstream by the eob grid) */
-    for (int r = 0; r < sz; r++)
-        memset(&plane[(py + r) * plane_w + px], 0,
-               (size_t)sz * sizeof(int32_t));
+    if (!emit) {
+        /* own the block region: callers reuse the dense plane across
+         * frames without re-zeroing (blocks with eob==0 are masked out
+         * downstream by the eob grid) */
+        for (int r = 0; r < sz; r++)
+            memset(&plane[(py + r) * plane_w + px], 0,
+                   (size_t)sz * sizeof(int32_t));
+    }
 
     for (;;) {
         int val = bd_prob(c, tp[0]);
-        eobcnt[(band * 6 + nnz) * 2 + val]++;
+        if (nc) eobcnt[(band * 6 + nnz) * 2 + val]++;
         if (!val) break;
         /* zero-run loop */
         while (!bd_prob(c, tp[1])) {
-            cnt[(band * 6 + nnz) * 3 + 0]++;
+            if (nc) cnt[(band * 6 + nnz) * 3 + 0]++;
             if (!--band_left) band_left = bc[++band];
             cache[scan[i]] = 0;
             nnz = (1 + cache[nb[2 * i]] + cache[nb[2 * i + 1]]) >> 1;
@@ -48,11 +67,11 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
         }
         int rc = scan[i];
         if (!bd_prob(c, tp[2])) {
-            cnt[(band * 6 + nnz) * 3 + 1]++;
+            if (nc) cnt[(band * 6 + nnz) * 3 + 1]++;
             val = 1;
             cache[rc] = 1;
         } else {
-            cnt[(band * 6 + nnz) * 3 + 2]++;
+            if (nc) cnt[(band * 6 + nnz) * 3 + 2]++;
             if (!bd_prob(c, tp[3])) {
                 if (!bd_prob(c, tp[4])) {
                     cache[rc] = 2; val = 2;
@@ -124,7 +143,31 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
             if (is32) cv = prod / 2;
             else cv = prod;
             if (is8) cv = (int16_t)cv;
-            plane[(py + rc / sz) * plane_w + (px + rc % sz)] = cv;
+            if (!emit) {
+                plane[(py + rc / sz) * plane_w + (px + rc % sz)] = cv;
+            } else if (cv) {
+                if (s->n_pairs >= s->pairs_cap) {
+                    s->error = -3;       /* python retries densely */
+                } else {
+                    int32_t pos = s->cur_cbase
+                        + (py + rc / sz) * plane_w + (px + rc % sz);
+                    if (s->pairs_wide) {
+                        int16_t *o = s->pairs_out
+                            + (size_t)s->n_pairs * 4;
+                        o[0] = (int16_t)(pos >> 16);
+                        o[1] = (int16_t)(pos & 0xffff);
+                        o[2] = (int16_t)(cv >> 16);
+                        o[3] = (int16_t)(cv & 0xffff);
+                    } else {
+                        int16_t *o = s->pairs_out
+                            + (size_t)s->n_pairs * 3;
+                        o[0] = (int16_t)(pos >> 16);
+                        o[1] = (int16_t)(pos & 0xffff);
+                        o[2] = (int16_t)cv;
+                    }
+                    s->n_pairs++;
+                }
+            }
             if (cv) (*nzc)++;
         }
         if (++i >= n_coeffs) break;
@@ -191,6 +234,7 @@ static int decode_coeffs(Td *td)
 
     int is32 = td->tx == TX_32X32;
     int n = 0;
+    s->cur_cbase = s->cbase[0];
     for (int y = 0; y < end_y; y += step) {
         for (int x = 0; x < end_x; x += step) {
             int mode_idx = (td->bs > BS_8x8 && td->tx == TX_4X4) ? n : 0;
@@ -207,6 +251,9 @@ static int decode_coeffs(Td *td)
             total |= ret ? 1 : 0;
             if (ret) s->eob_cnt[0]++;
             s->eob_y[(row * 2 + y) * c16 + col * 2 + x] = ret;
+            if (s->emit_pairs && ret)
+                emit_eob_pair(s, s->ebase[0] + (row * 2 + y) * c16
+                                 + col * 2 + x, ret);
             n += step * step;
         }
     }
@@ -233,6 +280,7 @@ static int decode_coeffs(Td *td)
         int lu0 = row7 << (1 - s->ss_v);
         int32_t *coefp = pl ? s->coef_v : s->coef_u;
         int32_t *eobp = pl ? s->eob_v : s->eob_u;
+        s->cur_cbase = s->cbase[1 + pl];
         if (ustep > 1) {
             for (int m = 0; m < end_y; m += ustep) {
                 int any = 0;
@@ -260,6 +308,10 @@ static int decode_coeffs(Td *td)
                 if (ret) s->eob_cnt[1 + pl]++;
                 eobp[((row * 2 >> s->ss_v) + y) * c16uv
                      + (col * 2 >> s->ss_h) + x] = ret;
+                if (s->emit_pairs && ret)
+                    emit_eob_pair(s, s->ebase[1 + pl]
+                                     + ((row * 2 >> s->ss_v) + y) * c16uv
+                                     + (col * 2 >> s->ss_h) + x, ret);
             }
         }
         if (ustep > 1) {

@@ -15,6 +15,12 @@ static void splat_grids(Td *td)
     int uh4 = h4 >> s->ss_v; if (!uh4) uh4 = 1;
     int uw4 = w4 >> s->ss_h; if (!uw4) uw4 = 1;
 
+    /* the TPU pass B rebuilds every per-4x4 grid on device from the
+     * block records; in emit-pairs mode the dense host splats below
+     * are dead weight (~19% of pass A) and are skipped */
+    if (s->emit_pairs)
+        goto record;
+
     for (int y = 0; y < h4; y++)
         memset(&s->txsz4[(r0 + y) * c16 + c0], td->tx, w4);
     for (int y = 0; y < uh4; y++)
@@ -164,6 +170,7 @@ static void splat_grids(Td *td)
     }
 
     /* block record: 36 int16 slots */
+record:
     if (s->n_blocks < s->max_blocks) {
         int16_t *r = &s->blocks_out[s->n_blocks * 36];
         r[0] = row; r[1] = col; r[2] = td->tile_col_start;
@@ -196,12 +203,13 @@ static void decode_block(Td *td, int row, int col, int bl, int bp)
     td->max_mv_x = 128 + (s->cols - col - w4) * 64;
     td->max_mv_y = 128 + (s->rows - row - h4) * 64;
 
-    decode_mode(td);
+    PROF(0, decode_mode(td));
     td->uvtx = td->tx - ((s->ss_h && w4 * 2 == (1 << td->tx)) ||
                          (s->ss_v && h4 * 2 == (1 << td->tx)));
 
     if (!td->skip) {
-        int has = decode_coeffs(td);
+        int has;
+        PROF(1, has = decode_coeffs(td));
         if (!has && td->bs <= BS_8x8 && !td->intra) {
             td->skip = 1;
             memset(&s->a_skip[col], 1, w4);
@@ -226,10 +234,10 @@ static void decode_block(Td *td, int row, int col, int bl, int bp)
         }
     }
 
-    splat_grids(td);
+    PROF(2, splat_grids(td));
 
     /* loop filter level + masks */
-    if (s->filter_level) {
+    if (s->filter_level) PROF(3, {
         int lvl = s->lflvl[td->seg_id]
                           [td->intra ? 0 : td->ref[0] + 1]
                           [td->mode[3] != ZEROMV];
@@ -257,7 +265,7 @@ static void decode_block(Td *td, int row, int col, int bl, int bp)
                            td->uvtx, skip_inter);
             }
         }
-    }
+    });
 }
 
 static void decode_sb(Td *td, int row, int col, int bl)
@@ -418,6 +426,8 @@ static void decode_one_tile_col(TileJob *j)
             }
         }
     }
+    if (!j->error && j->ctx.error)
+        j->error = j->ctx.error;
 }
 
 static void *tile_thread(void *arg)
@@ -439,7 +449,7 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
     /* re-zero the pooled grids whose stale content is not fully
      * overwritten or masked (moved here from the Python _setup_arrays
      * fills: this runs with the GIL released) */
-    {
+    PROF(4, {
         int r4 = s->sb_rows * 16, c4 = s->sb_cols * 16;
         int r4u = r4 >> s->ss_v, c4u = c4 >> s->ss_h;
         memset(s->eob_y, 0, (size_t)r4 * c4 * sizeof(int32_t));
@@ -447,7 +457,7 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
         memset(s->eob_v, 0, (size_t)r4u * c4u * sizeof(int32_t));
         memset(s->lf_mask, 0, (size_t)s->sb_rows * s->sb_cols
                                * 2 * 2 * 8 * 4 * sizeof(int32_t));
-    }
+    });
 
     /* locate each tile's data */
     const uint8_t *tdata[64][64];
@@ -497,7 +507,7 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
                 }
             }
         }
-        return 0;
+        return s->error;
     }
 
     /* threaded tile columns: outputs are column-disjoint; counts and
@@ -524,6 +534,22 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
         j->ctx.max_blocks = cap;
         j->ctx.n_blocks = 0;
         blk_off += cap;
+        if (s->emit_pairs) {
+            /* per-tile pair segments, proportional to tile width */
+            int pw = s->pairs_wide ? 4 : 3;
+            int32_t pc = (int32_t)((int64_t)s->pairs_cap * (c1 - c0)
+                                   / s->cols);
+            int32_t ec = (int32_t)((int64_t)s->eobp_cap * (c1 - c0)
+                                   / s->cols);
+            int32_t po = (int32_t)((int64_t)s->pairs_cap * c0 / s->cols);
+            int32_t eo = (int32_t)((int64_t)s->eobp_cap * c0 / s->cols);
+            j->ctx.pairs_out = s->pairs_out + (size_t)po * pw;
+            j->ctx.pairs_cap = pc;
+            j->ctx.n_pairs = 0;
+            j->ctx.eobp_out = s->eobp_out + (size_t)eo * 3;
+            j->ctx.eobp_cap = ec;
+            j->ctx.n_eobp = 0;
+        }
         for (int tr = 0; tr < s->tile_rows; tr++) {
             j->tile_data[tr] = tdata[tr][tc];
             j->tile_size[tr] = tsize[tr][tc];
@@ -559,6 +585,21 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
         w += jobs[tc].ctx.n_blocks;
     }
     s->n_blocks = total_blocks;
+    if (s->emit_pairs && !err) {
+        /* compact the per-tile pair segments (scatter order is free) */
+        int pw = s->pairs_wide ? 4 : 3;
+        size_t np = jobs[0].ctx.n_pairs, ne = jobs[0].ctx.n_eobp;
+        for (int tc = 1; tc < ntc; tc++) {
+            memmove(s->pairs_out + np * pw, jobs[tc].ctx.pairs_out,
+                    (size_t)jobs[tc].ctx.n_pairs * pw * sizeof(int16_t));
+            np += jobs[tc].ctx.n_pairs;
+            memmove(s->eobp_out + ne * 3, jobs[tc].ctx.eobp_out,
+                    (size_t)jobs[tc].ctx.n_eobp * 3 * sizeof(int16_t));
+            ne += jobs[tc].ctx.n_eobp;
+        }
+        s->n_pairs = (int32_t)np;
+        s->n_eobp = (int32_t)ne;
+    }
     free(jobs);
     return err;
 }
