@@ -1299,7 +1299,7 @@ def encode_inter_random(w, h, seed=0, seg=False, prev_segmap=None):
     return _finish(hdr, chdr, t.bytes()), cur_segmap
 
 
-def encode_inter_zeromv(w, h):
+def encode_inter_zeromv(w, h, seg=False):
     """Visible inter frame (profile 0, lossless, all-skip, ZEROMV, single
     ref slot 0, refreshing slot 1). With a different size than its
     reference this exercises the scaled-reference MC path."""
