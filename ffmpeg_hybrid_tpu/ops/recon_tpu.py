@@ -717,17 +717,13 @@ def _intra_scan(plane, residual, packed, L, sizes, caps, bpp):
     return jax.lax.fori_loop(0, L, body, plane)
 
 
-def run_intra_plane(s, plane_dev, residual_dev, levels):
-    """Run the intra wavefront: ONE upload + ONE dispatch per plane.
-
-    The former per-(level, size) dispatch loop cost ~45 host dispatches
-    per frame (~0.06 ms each, ~2.8 ms/frame; a 1080p keyframe alone is
-    ~120 levels). All levels are packed host-side into per-size
-    [L, cap] slabs in a single buffer and the level loop runs on device
-    (_intra_scan). cap buckets are per-size maxima so the executable
-    cache converges after a few frames."""
-    bpp = s.header.bpp
-    Hp, Wp = plane_dev.shape
+def pack_intra_slab(levels, Hp, Wp):
+    """Host-side half of the intra wavefront: pack the dependency
+    levels into one [tot, 8] int16 slab (per-size [L, cap] sections).
+    Pure function of the schedule, so the precompute worker thread runs
+    it off the critical path; U and V share one slab (same schedule).
+    Returns (buf, L, sizes, caps) or None when the plane has no intra
+    blocks."""
     L = len(levels)
     maxn = {}
     for lvl in levels:
@@ -736,35 +732,57 @@ def run_intra_plane(s, plane_dev, residual_dev, levels):
             if n:
                 maxn[sz] = max(maxn.get(sz, 0), n)
     if not maxn:
-        return plane_dev
-    with metrics.timer("intra.pack"):
-        sizes = tuple(sorted(maxn))
-        caps = tuple(_pad_to_bucket(maxn[sz], base=8, mult=2)
-                     for sz in sizes)
-        tot = _pad_to_bucket(L * sum(caps), base=64, mult=2)
-        buf = np.zeros((tot, 8), np.int16)
-        # inert rows: oob py/px (scatter-dropped), consts-only edges
-        # (no gathers), valid clamp inputs
-        buf[:, 0] = Hp + 64
-        buf[:, 1] = Wp + 64
-        buf[:, 2] = 2  # DC
-        buf[:, 6:8] = 1
-        base = 0
-        for sz, cap in zip(sizes, caps):
-            for i, lvl in enumerate(levels):
-                entries = lvl.get(sz)
-                if entries is not None and len(entries):
-                    o = base + i * cap
-                    buf[o:o + len(entries)] = entries
-            base += L * cap
-    with metrics.timer("intra.upload"):
-        dev = jnp.asarray(buf)
+        return None
+    sizes = tuple(sorted(maxn))
+    caps = tuple(_pad_to_bucket(maxn[sz], base=8, mult=2)
+                 for sz in sizes)
+    tot = _pad_to_bucket(L * sum(caps), base=64, mult=2)
+    buf = np.zeros((tot, 8), np.int16)
+    # inert rows: oob py/px (scatter-dropped), consts-only edges
+    # (no gathers), valid clamp inputs
+    buf[:, 0] = Hp + 64
+    buf[:, 1] = Wp + 64
+    buf[:, 2] = 2  # DC
+    buf[:, 6:8] = 1
+    base = 0
+    for sz, cap in zip(sizes, caps):
+        for i, lvl in enumerate(levels):
+            entries = lvl.get(sz)
+            if entries is not None and len(entries):
+                o = base + i * cap
+                buf[o:o + len(entries)] = entries
+        base += L * cap
+    return buf, L, sizes, caps
+
+
+def run_intra_plane(s, plane_dev, residual_dev, levels, slab=None,
+                    slab_dev=None):
+    """Run the intra wavefront: ONE upload + ONE dispatch per plane.
+
+    The former per-(level, size) dispatch loop cost ~45 host dispatches
+    per frame (~0.06 ms each, ~2.8 ms/frame; a 1080p keyframe alone is
+    ~120 levels). All levels are packed host-side into per-size
+    [L, cap] slabs in a single buffer and the level loop runs on device
+    (_intra_scan). cap buckets are per-size maxima so the executable
+    cache converges after a few frames. slab: prepacked
+    pack_intra_slab result (else packed here); slab_dev: the slab
+    buffer already on device (U's upload reused by V)."""
+    bpp = s.header.bpp
+    if slab is None:
+        with metrics.timer("intra.pack"):
+            slab = pack_intra_slab(levels, *plane_dev.shape)
+    if slab is None:
+        return plane_dev, None
+    buf, L, sizes, caps = slab
+    if slab_dev is None:
+        with metrics.timer("intra.upload"):
+            slab_dev = jnp.asarray(buf)
     metrics.add("intra.ncalls", 1)
-    metrics.add("intra.nrows", tot)
+    metrics.add("intra.nrows", buf.shape[0])
     with metrics.timer("intra.level_dispatch"):
-        plane_dev = _intra_scan(plane_dev, residual_dev, dev, L, sizes,
-                                caps, bpp)
-    return plane_dev
+        plane_dev = _intra_scan(plane_dev, residual_dev, slab_dev, L,
+                                sizes, caps, bpp)
+    return plane_dev, slab_dev
 
 
 # ---------------------------------------------------------------------------
@@ -1123,10 +1141,17 @@ def precompute_host(s):
         return
     h = s.header
     pre = {"levels": [None, None], "pairs": [None] * 3,
-           "pairs_merged": None, "lf": None}
+           "pairs_merged": None, "lf": None, "slabs": [None, None]}
     with metrics.timer("recon.intra_sched"):
         pre["levels"][0] = _build_intra_schedule_fast(s, 0)
         pre["levels"][1] = _build_intra_schedule_fast(s, 1)
+    with metrics.timer("recon.intra_pack"):
+        # prepack the wavefront slabs off the critical path; U and V
+        # share one slab (identical schedule, different residuals)
+        Hy, Wy = s.sb_rows * 64, s.sb_cols * 64
+        pre["slabs"][0] = pack_intra_slab(pre["levels"][0], Hy, Wy)
+        pre["slabs"][1] = pack_intra_slab(
+            pre["levels"][1], Hy >> h.ss_v, Wy >> h.ss_h)
     with metrics.timer("recon.coef_pack"):
         merged = _merged_from_pairs(s)
         if merged is None and getattr(s, "use_native", False):
@@ -1216,6 +1241,7 @@ def recon_frame(s):
             flat_e = _scatter_pairs16(jnp.asarray(ep_m), 1, Le)
 
     outs = []
+    uv_slab_dev = None
     for plane_idx in range(3):
         if plane_idx == 0:
             coef, eob4 = s.coef_y, s.eob_y
@@ -1321,8 +1347,10 @@ def recon_frame(s):
                     bool(h.lossless), bpp)
 
         with metrics.timer("recon.intra_sched"):
+            slab = None
             if pre is not None:
                 levels = pre["levels"][min(plane_idx, 1)]
+                slab = pre["slabs"][min(plane_idx, 1)]
             elif plane_idx < 2:
                 levels = _build_intra_schedule(s, plane_idx)
                 if plane_idx == 1:
@@ -1330,7 +1358,12 @@ def recon_frame(s):
             else:
                 levels = s._uv_levels
         with metrics.timer("recon.intra_run"):
-            plane_dev = run_intra_plane(s, plane_dev, residual, levels)
+            # V reuses U's already-uploaded slab (identical schedule)
+            sd = uv_slab_dev if plane_idx == 2 else None
+            plane_dev, sd = run_intra_plane(s, plane_dev, residual,
+                                            levels, slab, sd)
+            if plane_idx == 1:
+                uv_slab_dev = sd
         outs.append(plane_dev)
 
     # loop filter on device: replay the native walker's recorded edge
