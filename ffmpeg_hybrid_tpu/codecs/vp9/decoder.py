@@ -266,15 +266,17 @@ class VP9Decoder:
 
         key = (H64, W64, ss_h, ss_v)
         if self.use_native:
-            # 6-deep: the 3-stage pipelined mode keeps up to 5 frames'
+            # 8-deep: the 4-stage pipelined mode keeps up to 7 frames'
             # buffers live (pass-A in-progress, qa slot, precompute
-            # current, qb slot, pass-B current) plus one of margin for
-            # in-flight async device uploads
+            # current, qb slot, upload current, qc slot, pass-B
+            # current) plus one of margin for in-flight async device
+            # uploads
+            _POOL_N = 8
             pool = getattr(self, "_geom_pool", None)
             if pool is None or pool[0] != key:
-                pool = (key, [alloc() for _ in range(6)], [0])
+                pool = (key, [alloc() for _ in range(_POOL_N)], [0])
                 self._geom_pool = pool
-            gen = pool[1][pool[2][0] % 6]
+            gen = pool[1][pool[2][0] % _POOL_N]
             pool[2][0] += 1
             for name, arr in gen.items():
                 setattr(self, name, arr)
@@ -437,17 +439,20 @@ class VP9Decoder:
         return job
 
     def decode_stream(self, packets):
-        """Pipelined decode of an iterable of packets: a 3-stage
+        """Pipelined decode of an iterable of packets: a 4-stage
         pipeline over threads. Stage 1 (worker): pass A host entropy
-        decode of frame N+2 — frame-serial by spec (passA ->
+        decode of frame N+3 — frame-serial by spec (passA ->
         adapt_probs -> passA, reference: vp9.c:1821-1824). Stage 2
-        (worker): pass-B host precompute of frame N+1 (pure function of
-        the stage-1 snapshot). Stage 3 (calling thread): pass B device
-        uploads + dispatch of frame N. This is the TPU-native form of
-        the reference's frame threading (pthread_frame.c:501:
-        header+entropy of N+1 overlaps recon of N), with the host
-        precompute split out so the entropy thread's critical path is
-        entropy decode alone. Yields output Frames in order."""
+        (worker): pass-B host precompute of frame N+2 (pure function of
+        the stage-1 snapshot). Stage 3 (worker): h2d uploads of frame
+        N+1's pass-B inputs (pure data movement — no dependency on
+        frame N's results). Stage 4 (calling thread): pass B dispatch
+        of frame N. This is the TPU-native form of the reference's
+        frame threading (pthread_frame.c:501: header+entropy of N+1
+        overlaps recon of N), with host precompute and transfers split
+        out so the entropy thread's critical path is entropy decode
+        alone and the dispatch thread never waits on the host link.
+        Yields output Frames in order."""
         import queue
         import threading
 
@@ -474,6 +479,7 @@ class VP9Decoder:
 
         qa: queue.Queue = queue.Queue(maxsize=1)
         qb: queue.Queue = queue.Queue(maxsize=1)
+        qc: queue.Queue = queue.Queue(maxsize=1)
 
         def worker_a():
             try:
@@ -504,13 +510,32 @@ class VP9Decoder:
             finally:
                 put(qb, _END)
 
+        def worker_upload():
+            try:
+                while True:
+                    job = get(qb)
+                    if job is _END:
+                        break
+                    if job.ready is None and self.recon_backend == "tpu":
+                        from ...ops import recon_tpu
+                        with metrics.timer("stage.upload"):
+                            recon_tpu.upload_job(job)
+                    if not put(qc, job):
+                        return
+            except BaseException as e:  # noqa: BLE001 - propagated below
+                err.append(e)
+            finally:
+                put(qc, _END)
+
         ta = threading.Thread(target=worker_a, daemon=True)
         tp = threading.Thread(target=worker_pre, daemon=True)
+        tu = threading.Thread(target=worker_upload, daemon=True)
         ta.start()
         tp.start()
+        tu.start()
         try:
             while True:
-                job = qb.get()
+                job = qc.get()
                 if job is _END:
                     break
                 yield from self.decode_pass_b(job)
@@ -520,6 +545,7 @@ class VP9Decoder:
             stop.set()
             ta.join()
             tp.join()
+            tu.join()
         if err:
             raise err[0]
 

@@ -1177,7 +1177,45 @@ def precompute_host(s):
             pre["lf"] = (ysteps, ny, uvsteps, nuv)
         except OSError:
             pass
+    # pack the per-block record table here too (pure host work)
+    with metrics.timer("recon.recs_pack"):
+        pre["recs"] = _pack_records(s)
     s.pre = pre
+
+
+def upload_job(s):
+    """Start every h2d transfer of the frame's pass-B inputs. Pure data
+    movement (no dependency on the previous frame's results), so the
+    pipelined decode runs it on its own stage thread: transfers of
+    frame N overlap dispatch of frame N-1, and the main thread's pass B
+    becomes dispatch-only. Device handles land in s.pre["dev"]."""
+    pre = getattr(s, "pre", None)
+    if pre is None:
+        return
+    dev = {}
+    with metrics.timer("upload.recs"):
+        dev["recs"] = jnp.asarray(pre["recs"])
+    merged = pre.get("pairs_merged")
+    if merged is not None:
+        cp_m, ep_m, _geoms = merged
+        with metrics.timer("upload.pairs"):
+            dev["cp"] = jnp.asarray(cp_m)
+            dev["ep"] = jnp.asarray(ep_m)
+    else:
+        with metrics.timer("upload.pairs"):
+            dev["pairs"] = [
+                (jnp.asarray(p[0]), jnp.asarray(p[1]))
+                if p is not None else None
+                for p in pre["pairs"]]
+    with metrics.timer("upload.slabs"):
+        dev["slabs"] = [jnp.asarray(sl[0]) if sl is not None else None
+                        for sl in pre["slabs"]]
+    if pre.get("lf") is not None:
+        ysteps, ny, uvsteps, nuv = pre["lf"]
+        with metrics.timer("upload.lf"):
+            dev["lfy"] = jnp.asarray(ysteps) if ny else None
+            dev["lfuv"] = jnp.asarray(uvsteps) if nuv else None
+    pre["dev"] = dev
 
 
 def recon_frame(s):
@@ -1199,11 +1237,18 @@ def recon_frame(s):
 
     cur = s.cur_frame_obj
     pre = getattr(s, "pre", None)
+    dev = pre.get("dev") if pre else None
+    if dev is None:
+        dev = {}
 
     # one thin upload for all block metadata; dense grids are rebuilt on
     # device (_grids_from_records)
     with metrics.timer("recon.upload_recs"):
-        recs_dev = jnp.asarray(_pack_records(s))
+        recs_dev = dev.get("recs")
+        if recs_dev is None:
+            recs = pre["recs"] if pre and "recs" in pre \
+                else _pack_records(s)
+            recs_dev = jnp.asarray(recs)
     r4, c4 = s.txsz4.shape
     with metrics.timer("recon.splat"):
         (inter4_d, txsz4_d, txtype4_d, comp4_d, filt4_d, refsel_d, mv16_d,
@@ -1237,8 +1282,14 @@ def recon_frame(s):
                 else _scatter_pairs16
             Lc = sum(sh[0] * sh[1] for sh, _e, _b, _eb in geoms_m)
             Le = sum(e[0] * e[1] for _sh, e, _b, _eb in geoms_m)
-            flat_c = scat(jnp.asarray(cp_m), 1, Lc)
-            flat_e = _scatter_pairs16(jnp.asarray(ep_m), 1, Le)
+            cp_dev = dev.get("cp")
+            if cp_dev is None:
+                cp_dev = jnp.asarray(cp_m)
+            ep_dev = dev.get("ep")
+            if ep_dev is None:
+                ep_dev = jnp.asarray(ep_m)
+            flat_c = scat(cp_dev, 1, Lc)
+            flat_e = _scatter_pairs16(ep_dev, 1, Le)
 
     outs = []
     uv_slab_dev = None
@@ -1266,17 +1317,24 @@ def recon_frame(s):
                     flat_c, flat_e, bc, be, sh[0], sh[1], esh[0],
                     esh[1])
             else:
-                if pre is not None and pre["pairs"][plane_idx] \
+                pdev = dev.get("pairs")
+                if pdev is not None and pdev[plane_idx] is not None:
+                    cp_d, ep_d = pdev[plane_idx]
+                    wide4 = cp_d.shape[1] == 4
+                elif pre is not None and pre["pairs"][plane_idx] \
                         is not None:
                     cp, ep = pre["pairs"][plane_idx]
+                    cp_d, ep_d = jnp.asarray(cp), jnp.asarray(ep)
+                    wide4 = cp.shape[1] == 4
                 else:
                     txg = s.txsz4 if plane_idx == 0 else s.uvtx4
                     cp, ep = _pack_coef_host(coef, eob4, txg,
                                              wide=bpp > 8)
-                scat = _scatter_pairs32 if cp.shape[1] == 4 \
-                    else _scatter_pairs16
-                coef_dev = scat(jnp.asarray(cp), *coef.shape)
-                eob_dev = _scatter_pairs16(jnp.asarray(ep), *eob4.shape)
+                    cp_d, ep_d = jnp.asarray(cp), jnp.asarray(ep)
+                    wide4 = cp.shape[1] == 4
+                scat = _scatter_pairs32 if wide4 else _scatter_pairs16
+                coef_dev = scat(cp_d, *coef.shape)
+                eob_dev = _scatter_pairs16(ep_d, *eob4.shape)
 
         if has_inter_frame:
             w, hh = cur.size
@@ -1358,8 +1416,11 @@ def recon_frame(s):
             else:
                 levels = s._uv_levels
         with metrics.timer("recon.intra_run"):
-            # V reuses U's already-uploaded slab (identical schedule)
+            # V reuses U's already-uploaded slab (identical schedule);
+            # the pipelined upload stage may have shipped both already
             sd = uv_slab_dev if plane_idx == 2 else None
+            if sd is None and dev.get("slabs") is not None:
+                sd = dev["slabs"][min(plane_idx, 1)]
             plane_dev, sd = run_intra_plane(s, plane_dev, residual,
                                             levels, slab, sd)
             if plane_idx == 1:
@@ -1384,13 +1445,18 @@ def recon_frame(s):
                                                     s.sb_cols)
             with metrics.timer("recon.lf_enqueue"):
                 if ny:
-                    y = lpf_tpu._lf_scan(outs[0][None],
-                                         jnp.asarray(ysteps), bpp)[0]
+                    lfy = dev.get("lfy")
+                    if lfy is None:
+                        lfy = jnp.asarray(ysteps)
+                    y = lpf_tpu._lf_scan(outs[0][None], lfy, bpp)[0]
                 else:
                     y = outs[0]
                 if nuv:
+                    lfuv = dev.get("lfuv")
+                    if lfuv is None:
+                        lfuv = jnp.asarray(uvsteps)
                     uv = lpf_tpu._lf_scan(jnp.stack([outs[1], outs[2]]),
-                                          jnp.asarray(uvsteps), bpp)
+                                          lfuv, bpp)
                     u, v = uv[0], uv[1]
                 else:
                     u, v = outs[1], outs[2]
