@@ -155,6 +155,10 @@ _JOB_ATTRS = (
     "coef_counts", "coef_pairs")
 
 
+# pipeline depth the buffer pools must cover (see _setup_arrays)
+POOL_DEPTH = 8
+
+
 class VP9Decoder:
     """Stateful VP9 decoder. decode(packet) -> list of output Frames."""
 
@@ -176,6 +180,12 @@ class VP9Decoder:
         # per-frame state set up in _setup_frame
         self.probs: Probs | None = None
         self.coef11 = None
+        # per-frame pool slot (native fast path): probs/counts/coef11
+        # slots and the geometry pool rotate together so the native
+        # pass A can cache its marshalled ctx per (geometry, slot)
+        self._slot = 0
+        self._probs_pool = None
+        self._counts_pool = None
 
     # -- pass A frame context API used by TileDecoder ------------------
     def counts_factory(self):
@@ -262,6 +272,10 @@ class VP9Decoder:
                 "ref4": np.zeros((r4, c4, 2), np.int8),
                 "comp4": np.zeros((r4, c4), bool),
                 "filter4": np.zeros((r4, c4), np.int8),
+                # native block records (C writes every emitted row incl.
+                # the 2 pad slots, so stale content never leaks)
+                "blocks_buf": np.empty(
+                    (sb_cols * 8 * sb_rows * 8 + 64, 36), np.int16),
             }
 
         key = (H64, W64, ss_h, ss_v)
@@ -270,14 +284,13 @@ class VP9Decoder:
             # buffers live (pass-A in-progress, qa slot, precompute
             # current, qb slot, upload current, qc slot, pass-B
             # current) plus one of margin for in-flight async device
-            # uploads
-            _POOL_N = 8
+            # uploads. All pools rotate on the shared per-frame _slot
+            # so the native pass A can cache its ctx per slot.
             pool = getattr(self, "_geom_pool", None)
             if pool is None or pool[0] != key:
-                pool = (key, [alloc() for _ in range(_POOL_N)], [0])
+                pool = (key, [alloc() for _ in range(POOL_DEPTH)])
                 self._geom_pool = pool
-            gen = pool[1][pool[2][0] % _POOL_N]
-            pool[2][0] += 1
+            gen = pool[1][self._slot]
             for name, arr in gen.items():
                 setattr(self, name, arr)
             # grids whose stale content is NOT fully overwritten or
@@ -566,6 +579,9 @@ class VP9Decoder:
             job.ready = [f]
             return job
 
+        # advance the shared pool slot (geometry arrays, probs, counts)
+        self._slot = (self._slot + 1) % POOL_DEPTH
+
         # retain_segmap uses the *previous* frame's segmentation flags
         # (reference: vp9.c:1616-1617 evaluated before header parse)
         prev = self.header
@@ -626,12 +642,19 @@ class VP9Decoder:
         # compressed header
         chdr = data[h.uncompressed_header_size:
                     h.uncompressed_header_size + h.compressed_header_size]
-        self.probs = self.prob_ctx[c].copy()
+        if self.use_native:
+            # pooled slot: stable array pointers for the cached native ctx
+            if self._probs_pool is None:
+                self._probs_pool = [Probs() for _ in range(POOL_DEPTH)]
+            self.probs = self.prob_ctx[c].copy_into(
+                self._probs_pool[self._slot])
+        else:
+            self.probs = self.prob_ctx[c].copy()
         with metrics.timer("decode.hdr_comp"):
             done = False
             if self.use_native:
                 from ...passa_native import parse_chdr_native
-                done = parse_chdr_native(chdr, h, self.probs)
+                done = parse_chdr_native(chdr, h, self.probs, dec=self)
             if done:
                 from .probs import coef_full
                 self.coef11 = coef_full(self.probs.coef)
@@ -660,7 +683,11 @@ class VP9Decoder:
         with metrics.timer("decode.pass_a"):
             if self.use_native:
                 from ...passa_native import decode_tiles_native
-                self.native_counts = Counts()
+                if self._counts_pool is None:
+                    self._counts_pool = [Counts()
+                                         for _ in range(POOL_DEPTH)]
+                # pooled slot; the C entry zeroes the count arrays
+                self.native_counts = self._counts_pool[self._slot]
                 decode_tiles_native(self, tile_data)
                 counts = self.native_counts
             else:

@@ -82,16 +82,23 @@ class Probs:
 
     def copy(self) -> "Probs":
         p = Probs()
+        self.copy_into(p)
+        return p
+
+    def copy_into(self, p: "Probs") -> "Probs":
+        """In-place copy (the decoder reuses pooled Probs slots so the
+        native pass A's cached pointers stay valid across frames)."""
         for f in self.FIELDS:
             getattr(p, f)[...] = getattr(self, f)
         p.coef[...] = self.coef
         return p
 
 
-def coef_full(coef3: np.ndarray) -> np.ndarray:
+def coef_full(coef3: np.ndarray, out: np.ndarray = None) -> np.ndarray:
     """Expand 3-entry coefficient probs to the 11-entry form with the
     pareto tail (reference: vp9.c:975 memcpy of ff_vp9_model_pareto8)."""
-    out = np.zeros(coef3.shape[:-1] + (11,), np.uint8)
+    if out is None:
+        out = np.zeros(coef3.shape[:-1] + (11,), np.uint8)
     out[..., :3] = coef3
     out[..., 3:] = T.MODEL_PARETO8[coef3[..., 2]]
     return out

@@ -84,7 +84,8 @@ class NativeCtx(C.Structure):
            ("n_pairs", C.c_int32), ("eobp_out", i16p),
            ("eobp_cap", C.c_int32), ("n_eobp", C.c_int32),
            ("cbase", C.c_int32 * 3), ("ebase", C.c_int32 * 3),
-           ("cur_cbase", C.c_int32), ("skip_counts", C.c_int32)]
+           ("cur_cbase", C.c_int32), ("skip_counts", C.c_int32),
+           ("row_counts", i32p), ("records_sorted", C.c_int32)]
     )
 
 
@@ -140,56 +141,13 @@ def _tbl(name, arr, typ):
     return _p(_KEEPALIVE_TABLES[name], typ)
 
 
-def decode_tiles_native(s, data: bytes) -> bool:
-    """Run the native pass A over the tile data. Fills the same output
-    tensors as the Python TileDecoder path. Returns True on success."""
-    if not available():
-        return False
-    h = s.header
-    ctx = NativeCtx()
-    ctx.cols, ctx.rows = s.cols, s.rows
-    ctx.sb_cols, ctx.sb_rows = s.sb_cols, s.sb_rows
-    ctx.ss_h, ctx.ss_v, ctx.bpp = s.ss_h, s.ss_v, h.bpp
-    ctx.keyframe, ctx.intraonly = int(h.keyframe), int(h.intraonly)
-    ctx.lossless, ctx.txfmmode = int(h.lossless), int(h.txfmmode)
-    ctx.filtermode = int(h.filtermode)
-    ctx.comppredmode = int(h.comppredmode)
-    ctx.allowcompinter = int(h.allowcompinter)
-    ctx.fixcompref = int(h.fixcompref)
-    ctx.varcompref0, ctx.varcompref1 = int(h.varcompref[0]), \
-        int(h.varcompref[1])
-    for i in range(3):
-        ctx.signbias[i] = int(h.signbias[i])
-    ctx.highprecisionmvs = int(h.highprecisionmvs)
-    ctx.errorres = int(h.errorres)
-    ctx.use_last_frame_mvs = int(bool(h.use_last_frame_mvs)
-                                 and s.prev_mv is not None)
-    ctx.filter_level = int(h.filter_level)
-    ctx.seg_enabled = int(h.seg_enabled)
-    ctx.seg_update_map = int(h.seg_update_map)
-    ctx.seg_temporal = int(h.seg_temporal)
-    ctx.seg_absolute_vals = int(h.seg_absolute_vals)
-    ctx.tile_cols, ctx.tile_rows = h.tile_cols, h.tile_rows
-    ctx.log2_tile_cols, ctx.log2_tile_rows = h.log2_tile_cols, \
-        h.log2_tile_rows
-    for i in range(7):
-        ctx.seg_prob[i] = h.seg_prob[i]
-    for i in range(3):
-        ctx.seg_pred_prob[i] = h.seg_pred_prob[i]
-    for i in range(8):
-        f = h.seg_feat[i]
-        ctx.seg_skip_en[i] = int(f.skip_enabled)
-        ctx.seg_ref_en[i] = int(f.ref_enabled)
-        ctx.seg_ref_val[i] = int(f.ref_val)
-        for a in range(2):
-            for b in range(2):
-                ctx.qmul[i][a][b] = int(f.qmul[a, b])
-        for a in range(4):
-            for b in range(2):
-                ctx.lflvl[i][a][b] = int(f.lflvl[a, b])
-
+def _marshal_stable(s, ctx, keep):
+    """Marshal the pointers that are stable for one (geometry, slot):
+    probs/counts slot arrays, pooled output grids, above-ctx lines,
+    normative tables, the pooled block-record buffer. ~80 ctypes
+    pointer conversions — cached per slot so frames pay only the
+    scalar updates (_marshal_frame)."""
     p = s.probs
-    keep = []
 
     def arr(a, typ):
         a = np.ascontiguousarray(a)
@@ -218,7 +176,6 @@ def decode_tiles_native(s, data: bytes) -> bool:
     ctx.p_mv_fp = arr(p.mv_fp, u8p)
     ctx.p_mv_c0hp = arr(p.mv_class0_hp, u8p)
     ctx.p_mv_hp = arr(p.mv_hp, u8p)
-    ctx.coef11 = arr(s.coef11, u8p)
 
     ctx.t_partition_tree = _tbl("ptree", T.PARTITION_TREE, i8p)
     ctx.t_kf_part_probs = _tbl("kfpart", T.DEFAULT_KF_PARTITION_PROBS, u8p)
@@ -256,13 +213,6 @@ def decode_tiles_native(s, data: bytes) -> bool:
     ctx.filter4 = _p(s.filter4, i8p)
     ctx.lf_level = _p(s.lf_level, u8p)
     ctx.lf_mask = _p(s.lf_mask, i32p)
-    ctx.segmap = _p(s.cur_segmap, u8p)
-    ctx.prev_segmap = (_p(s.prev_segmap, u8p)
-                       if s.prev_segmap is not None else None)
-    ctx.cur_mv = _p(s.cur_mv, i16p)
-    ctx.cur_ref = _p(s.cur_ref, i8p)
-    ctx.prev_mv = _p(s.prev_mv, i16p) if s.prev_mv is not None else None
-    ctx.prev_ref = _p(s.prev_ref, i8p) if s.prev_ref is not None else None
 
     ctx.a_partition = _p(s.above_partition_ctx, u8p)
     ctx.a_skip = _p(s.above_skip_ctx, u8p)
@@ -304,10 +254,110 @@ def decode_tiles_native(s, data: bytes) -> bool:
     ctx.c_mv_c0hp = _p(cnt.mv_class0_hp, u32p)
     ctx.c_mv_hp = _p(cnt.mv_hp, u32p)
 
-    max_blocks = s.cols * s.rows + 64
-    blocks = np.zeros((max_blocks, 36), np.int16)
-    ctx.blocks_out = _p(blocks, i16p)
-    ctx.max_blocks = max_blocks
+
+def _marshal_frame(s, ctx):
+    """Per-frame scalar/pointer updates on a (possibly cached) ctx."""
+    h = s.header
+    ctx.cols, ctx.rows = s.cols, s.rows
+    ctx.sb_cols, ctx.sb_rows = s.sb_cols, s.sb_rows
+    ctx.ss_h, ctx.ss_v, ctx.bpp = s.ss_h, s.ss_v, h.bpp
+    ctx.keyframe, ctx.intraonly = int(h.keyframe), int(h.intraonly)
+    ctx.lossless, ctx.txfmmode = int(h.lossless), int(h.txfmmode)
+    ctx.filtermode = int(h.filtermode)
+    ctx.comppredmode = int(h.comppredmode)
+    ctx.allowcompinter = int(h.allowcompinter)
+    ctx.fixcompref = int(h.fixcompref)
+    ctx.varcompref0, ctx.varcompref1 = int(h.varcompref[0]), \
+        int(h.varcompref[1])
+    for i in range(3):
+        ctx.signbias[i] = int(h.signbias[i])
+    ctx.highprecisionmvs = int(h.highprecisionmvs)
+    ctx.errorres = int(h.errorres)
+    ctx.use_last_frame_mvs = int(bool(h.use_last_frame_mvs)
+                                 and s.prev_mv is not None)
+    ctx.filter_level = int(h.filter_level)
+    ctx.seg_enabled = int(h.seg_enabled)
+    ctx.seg_update_map = int(h.seg_update_map)
+    ctx.seg_temporal = int(h.seg_temporal)
+    ctx.seg_absolute_vals = int(h.seg_absolute_vals)
+    ctx.tile_cols, ctx.tile_rows = h.tile_cols, h.tile_rows
+    ctx.log2_tile_cols, ctx.log2_tile_rows = h.log2_tile_cols, \
+        h.log2_tile_rows
+    for i in range(7):
+        ctx.seg_prob[i] = h.seg_prob[i]
+    for i in range(3):
+        ctx.seg_pred_prob[i] = h.seg_pred_prob[i]
+    # segment features: only segment 0 is reachable when segmentation
+    # is off (seg_id stays 0), so skip marshalling the other 7
+    nseg = 8 if h.seg_enabled else 1
+    for i in range(nseg):
+        f = h.seg_feat[i]
+        ctx.seg_skip_en[i] = int(f.skip_enabled)
+        ctx.seg_ref_en[i] = int(f.ref_enabled)
+        ctx.seg_ref_val[i] = int(f.ref_val)
+        qm = f.qmul
+        for a in range(2):
+            for b in range(2):
+                ctx.qmul[i][a][b] = int(qm[a, b])
+        lf = f.lflvl
+        for a in range(4):
+            for b in range(2):
+                ctx.lflvl[i][a][b] = int(lf[a, b])
+
+    ctx.coef11 = _p(s.coef11, u8p)
+    ctx.segmap = _p(s.cur_segmap, u8p)
+    ctx.prev_segmap = (_p(s.prev_segmap, u8p)
+                       if s.prev_segmap is not None else None)
+    ctx.cur_mv = _p(s.cur_mv, i16p)
+    ctx.cur_ref = _p(s.cur_ref, i8p)
+    ctx.prev_mv = _p(s.prev_mv, i16p) if s.prev_mv is not None else None
+    ctx.prev_ref = _p(s.prev_ref, i8p) if s.prev_ref is not None else None
+
+
+def decode_tiles_native(s, data: bytes) -> bool:
+    """Run the native pass A over the tile data. Fills the same output
+    tensors as the Python TileDecoder path. Returns True on success."""
+    if not available():
+        return False
+    from .utils.metrics import metrics
+    _t_marshal = metrics.timer("passa.marshal")
+    _t_marshal.__enter__()
+    h = s.header
+
+    # per-(geometry, slot) cached ctx: every pooled-array pointer is
+    # stable across the pool period, so only _marshal_frame runs per
+    # frame (the full pointer marshal costs ~0.8 ms/frame)
+    geom_key = s._geom_pool[0] if getattr(s, "_geom_pool", None) else None
+    cacheable = (geom_key is not None
+                 and s._probs_pool is not None
+                 and s.probs is s._probs_pool[s._slot]
+                 and s._counts_pool is not None
+                 and s.native_counts is s._counts_pool[s._slot])
+    if cacheable:
+        cache = getattr(s, "_nctx_cache", None)
+        if cache is None or cache[0] != geom_key:
+            cache = (geom_key, {})
+            s._nctx_cache = cache
+        ent = cache[1].get(s._slot)
+        if ent is None:
+            ctx = NativeCtx()
+            keep = []
+            _marshal_stable(s, ctx, keep)
+            blocks = s.blocks_buf
+            ctx.blocks_out = _p(blocks, i16p)
+            ctx.max_blocks = blocks.shape[0]
+            cache[1][s._slot] = (ctx, keep, blocks)
+        else:
+            ctx, keep, blocks = ent
+    else:
+        ctx = NativeCtx()
+        keep = []
+        _marshal_stable(s, ctx, keep)
+        max_blocks = s.cols * s.rows + 64
+        blocks = np.zeros((max_blocks, 36), np.int16)
+        ctx.blocks_out = _p(blocks, i16p)
+        ctx.max_blocks = max_blocks
+    _marshal_frame(s, ctx)
 
     # direct (pos, value) pair emission: the TPU pass B consumes the
     # merged pair buffers, never the dense coef planes, so pass A emits
@@ -321,6 +371,7 @@ def decode_tiles_native(s, data: bytes) -> bool:
                         for sc in getattr(s, "mvscale", [])))
     s.coef_pairs = None
     pbuf = ebuf = None
+    ctx.emit_pairs = 0  # cached ctx: clear last frame's flag
     if emit:
         wide = h.bpp > 8
         pw = 4 if wide else 3
@@ -342,15 +393,21 @@ def decode_tiles_native(s, data: bytes) -> bool:
     ctx.skip_counts = int(not (h.refreshctx and not h.parallelmode))
 
     buf = np.frombuffer(data, np.uint8)
-    rc = lib().vp9_decode_tiles(C.byref(ctx), _p(buf, u8p), len(data))
+    _t_marshal.__exit__(None, None, None)
+    with metrics.timer("passa.c_decode"):
+        rc = lib().vp9_decode_tiles(C.byref(ctx), _p(buf, u8p), len(data))
     if rc == -3:
         # pathological frame: >1/3 of all coefficients nonzero. Re-run
         # densely; safe because pass A is restartable (bool coders
         # re-init from the packet, every per-frame output grid is
-        # rewritten, and the above-ctx subset that carries state is
-        # re-reset here exactly as at frame entry).
+        # rewritten, the C entry re-zeroes the pooled count arrays, and
+        # the above-ctx subset that carries state is re-reset here
+        # exactly as at frame entry). native_counts stays the pooled
+        # slot object (the cached ctx points at its arrays).
         s._reset_above_ctx()
-        s.native_counts = s.counts_factory()
+        if s._counts_pool is None or \
+                s.native_counts is not s._counts_pool[s._slot]:
+            s.native_counts = s.counts_factory()
         s._emit_disable = True
         try:
             return decode_tiles_native(s, data)
@@ -358,17 +415,20 @@ def decode_tiles_native(s, data: bytes) -> bool:
             s._emit_disable = False
     if rc != 0:
         raise ValueError(f"native pass A failed: {rc}")
+    _t_post = metrics.timer("passa.post")
+    _t_post.__enter__()
     if emit:
         pw = 4 if ctx.pairs_wide else 3
         s.coef_pairs = (pbuf[:ctx.n_pairs * pw].reshape(ctx.n_pairs, pw),
                         ebuf[:ctx.n_eobp])
 
-    # keep the raw record array for the recon backends; with threaded
-    # tile columns the per-tile runs are concatenated, so restore decode
-    # order (sb-row major, then tile) with a stable sort.  Python Block
-    # objects are only materialized lazily (the golden path needs them;
-    # the TPU path reads the records directly).
-    if h.tile_cols > 1 and ctx.n_blocks:
+    # keep the raw record array for the recon backends. The C decoder
+    # merges threaded tile columns' records in (sb-row, tile) order
+    # itself; the host sort only remains as a fallback for frames the
+    # merge declined (sb_rows > 512 / scratch alloc failure). Python
+    # Block objects are only materialized lazily (the golden path
+    # needs them; the TPU path reads the records directly).
+    if h.tile_cols > 1 and ctx.n_blocks and not ctx.records_sorted:
         view = blocks[:ctx.n_blocks]
         keys = (view[:, 0].astype(np.int64) // 8) * (1 << 16) \
             + view[:, 2].astype(np.int64)
@@ -380,6 +440,7 @@ def decode_tiles_native(s, data: bytes) -> bool:
     # itself — lets the pair packer skip its counting pass
     s.coef_counts = [(int(ctx.nnz_cnt[i]), int(ctx.eob_cnt[i]))
                      for i in range(3)]
+    _t_post.__exit__(None, None, None)
     return True
 
 
@@ -564,25 +625,8 @@ def intra_schedule_native(s, plane_idx, r4, c4):
     return ents[:n], keys[:n]
 
 
-def parse_chdr_native(data: bytes, h, probs) -> bool:
-    """Native compressed-header parse (txfm mode + all prob updates),
-    updating `probs` arrays in place and h.txfmmode/h.comppredmode —
-    mirrors header.parse_compressed_header (reference: vp9.c:908-1113).
-    Returns False when the native library is unavailable."""
-    if not available():
-        return False
-    interframe = not (h.keyframe or h.intraonly)
-    buf = np.frombuffer(data, np.uint8)
-    txfm = C.c_int32(0)
-    cpm = C.c_int32(0)
-    p = probs
-    rc = lib().vp9_parse_chdr(
-        _p(buf, u8p), C.c_int(len(data)),
-        C.c_int(int(h.lossless)), C.c_int(int(interframe)),
-        C.c_int(int(h.filtermode == 4)),          # FILTER_SWITCHABLE
-        C.c_int(int(getattr(h, "allowcompinter", 0) or 0)),
-        C.c_int(int(h.highprecisionmvs)),
-        C.byref(txfm), C.byref(cpm),
+def _chdr_prob_ptrs(p):
+    return (
         _p(p.tx8p, u8p), _p(p.tx16p, u8p), _p(p.tx32p, u8p),
         _p(p.coef, u8p), _p(p.skip, u8p), _p(p.mv_mode, u8p),
         _p(p.filter, u8p), _p(p.intra, u8p), _p(p.comp, u8p),
@@ -591,6 +635,39 @@ def parse_chdr_native(data: bytes, h, probs) -> bool:
         _p(p.mv_classes, u8p), _p(p.mv_class0, u8p), _p(p.mv_bits, u8p),
         _p(p.mv_class0_fp, u8p), _p(p.mv_fp, u8p),
         _p(p.mv_class0_hp, u8p), _p(p.mv_hp, u8p))
+
+
+def parse_chdr_native(data: bytes, h, probs, dec=None) -> bool:
+    """Native compressed-header parse (txfm mode + all prob updates),
+    updating `probs` arrays in place and h.txfmmode/h.comppredmode —
+    mirrors header.parse_compressed_header (reference: vp9.c:908-1113).
+    Returns False when the native library is unavailable. When `dec`
+    is the owning decoder and `probs` is one of its pooled slots, the
+    22 probability-array pointers are cached per slot."""
+    if not available():
+        return False
+    interframe = not (h.keyframe or h.intraonly)
+    buf = np.frombuffer(data, np.uint8)
+    txfm = C.c_int32(0)
+    cpm = C.c_int32(0)
+    ptrs = None
+    if dec is not None and dec._probs_pool is not None \
+            and probs is dec._probs_pool[dec._slot]:
+        cache = getattr(dec, "_chdr_ptr_cache", None)
+        if cache is None:
+            cache = dec._chdr_ptr_cache = {}
+        ptrs = cache.get(dec._slot)
+        if ptrs is None:
+            ptrs = cache[dec._slot] = _chdr_prob_ptrs(probs)
+    if ptrs is None:
+        ptrs = _chdr_prob_ptrs(probs)
+    rc = lib().vp9_parse_chdr(
+        _p(buf, u8p), C.c_int(len(data)),
+        C.c_int(int(h.lossless)), C.c_int(int(interframe)),
+        C.c_int(int(h.filtermode == 4)),          # FILTER_SWITCHABLE
+        C.c_int(int(getattr(h, "allowcompinter", 0) or 0)),
+        C.c_int(int(h.highprecisionmvs)),
+        C.byref(txfm), C.byref(cpm), *ptrs)
     if rc != 0:
         raise ValueError("Marker bit was set")
     h.txfmmode = txfm.value

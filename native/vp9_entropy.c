@@ -82,35 +82,33 @@ static void bd_init(BoolDec *c, const uint8_t *data, int size)
 
 static inline void bd_renorm(BoolDec *c)
 {
-    if (c->range < 128) {
-        int shift = __builtin_clz(c->range) - 24;
-        int bits = c->bits + shift;
-        c->range <<= shift;
-        c->code_word <<= shift;
-        if (bits >= 0 && c->pos < c->size) {
-            unsigned v = (unsigned)c->data[c->pos++] << 8;
-            if (c->pos < c->size) v |= c->data[c->pos++];
-            else c->vbits += 8;
-            c->code_word |= v << bits;
-            bits -= 16;
-        }
-        c->bits = bits;
+    /* branch-free for the common path: shift==0 when range is already
+     * normalized, so the shifts are no-ops and `bits` (always < 0 at
+     * entry) never triggers the refill */
+    int shift = __builtin_clz(c->range) - 24;
+    int bits = c->bits + shift;
+    c->range <<= shift;
+    c->code_word <<= shift;
+    if (bits >= 0 && c->pos < c->size) {
+        unsigned v = (unsigned)c->data[c->pos++] << 8;
+        if (c->pos < c->size) v |= c->data[c->pos++];
+        else c->vbits += 8;
+        c->code_word |= v << bits;
+        bits -= 16;
     }
+    c->bits = bits;
 }
 
 static inline int bd_prob(BoolDec *c, int prob)
 {
+    /* branchless bit decision: the bit value is ~50% unpredictable by
+     * construction (that is what entropy coding means), so a compare+
+     * cmov beats a branch here */
     unsigned split = 1 + (((c->range - 1) * (unsigned)prob) >> 8);
     unsigned split_hi = split << 16;
-    int bit;
-    if (c->code_word < split_hi) {
-        bit = 0;
-        c->range = split;
-    } else {
-        bit = 1;
-        c->range -= split;
-        c->code_word -= split_hi;
-    }
+    int bit = c->code_word >= split_hi;
+    c->range = bit ? c->range - split : split;
+    c->code_word -= bit ? split_hi : 0;
     bd_renorm(c);
     return bit;
 }
@@ -341,6 +339,10 @@ typedef struct {
     int32_t skip_counts;   /* frame-parallel mode: adaptation never
                             * reads the counts; skip the per-symbol
                             * increments in the coefficient hot loop */
+    int32_t *row_counts;   /* (threaded path, internal) per-sb-row
+                            * record counts for the ordered merge */
+    int32_t records_sorted; /* out: 1 when blocks_out is already in
+                             * (sb-row, tile) order */
 } Ctx;
 
 /* per-tile/block decoder state */

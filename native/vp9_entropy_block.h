@@ -29,7 +29,12 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
                                uint32_t *eobcnt /* [6][6][2] */,
                                int32_t *nzc /* nonzero-coef counter */)
 {
-    BoolDec *c = td->c;
+    /* work on a stack-local copy of the bool decoder: its fields are
+     * int/unsigned, which the int32/uint32 output stores below may
+     * alias per the C rules — a local (address never escaping) keeps
+     * the whole coder state in registers through the hot loop */
+    BoolDec bd_local = *td->c;
+    BoolDec *c = &bd_local;
     int sz = 4 << tx;
     int n_coeffs = sz * sz;
     uint8_t cache[1024];
@@ -175,6 +180,7 @@ static int decode_coeffs_block(Td *td, int32_t *plane, int plane_w,
         tp = p11 + (band * 6 + nnz) * 11;
     }
 done:
+    *td->c = bd_local;  /* write the advanced coder state back */
     return i;
 }
 

@@ -185,7 +185,10 @@ record:
             r[20 + q * 4] = (int16_t)td->mv[q][1][0];
             r[21 + q * 4] = (int16_t)td->mv[q][1][1];
         }
+        r[34] = r[35] = 0;  /* pad slots (records buffer is pooled) */
         s->n_blocks++;
+        if (s->row_counts)
+            s->row_counts[row >> 3]++;
     }
 }
 
@@ -396,6 +399,8 @@ typedef struct {
     int tile_col;
     uint32_t counts[COUNTS_TOTAL];
     int error;
+    /* records emitted per sb-row (drives the ordered merge) */
+    int32_t row_count[512];
 } TileJob;
 
 static void decode_one_tile_col(TileJob *j)
@@ -436,6 +441,98 @@ static void *tile_thread(void *arg)
     return 0;
 }
 
+/* Persistent worker pool: pthread_create/join per frame costs ~0.3 ms
+ * at 4 tile columns; the pool keeps workers parked on a condvar and
+ * hands them a job array per frame (generation-counter protocol). The
+ * calling thread participates too (work-stealing by atomic index), so
+ * N tile columns use N cores with N-1 parked workers. A decoder that
+ * finds the pool busy (concurrent GOP-parallel decodes in one
+ * process) falls back to per-frame threads. */
+#include <stdatomic.h>
+
+#define POOL_THREADS 8
+
+static struct {
+    pthread_mutex_t busy;     /* held by the one decode using the pool */
+    pthread_mutex_t mu;
+    pthread_cond_t cv_work;
+    pthread_cond_t cv_done;
+    uint64_t gen;
+    int started;              /* workers created */
+    TileJob *jobs;
+    int n_jobs;
+    atomic_int next;
+    int done;
+    int init;
+} g_pool = { PTHREAD_MUTEX_INITIALIZER, PTHREAD_MUTEX_INITIALIZER,
+             PTHREAD_COND_INITIALIZER, PTHREAD_COND_INITIALIZER,
+             0, 0, 0, 0, 0, 0, 0 };
+
+static void pool_drain_queue(void)
+{
+    for (;;) {
+        int i = atomic_fetch_add(&g_pool.next, 1);
+        if (i >= g_pool.n_jobs)
+            return;
+        decode_one_tile_col(&g_pool.jobs[i]);
+        pthread_mutex_lock(&g_pool.mu);
+        if (++g_pool.done == g_pool.n_jobs)
+            pthread_cond_signal(&g_pool.cv_done);
+        pthread_mutex_unlock(&g_pool.mu);
+    }
+}
+
+static void *pool_worker(void *arg)
+{
+    uint64_t seen = 0;
+    (void)arg;
+    for (;;) {
+        pthread_mutex_lock(&g_pool.mu);
+        while (g_pool.gen == seen)
+            pthread_cond_wait(&g_pool.cv_work, &g_pool.mu);
+        seen = g_pool.gen;
+        pthread_mutex_unlock(&g_pool.mu);
+        pool_drain_queue();
+    }
+    return 0;
+}
+
+/* run jobs[0..n) on the pool + calling thread; returns 0, or -1 if the
+ * pool is busy (caller must fall back) */
+static int pool_run(TileJob *jobs, int n)
+{
+    if (pthread_mutex_trylock(&g_pool.busy) != 0)
+        return -1;
+    pthread_mutex_lock(&g_pool.mu);
+    int want = n - 1;
+    if (want > POOL_THREADS)
+        want = POOL_THREADS;
+    while (g_pool.started < want) {
+        pthread_t th;
+        if (pthread_create(&th, 0, pool_worker, 0) != 0)
+            break;
+        pthread_detach(th);
+        g_pool.started++;
+    }
+    g_pool.jobs = jobs;
+    g_pool.n_jobs = n;
+    g_pool.done = 0;
+    atomic_store(&g_pool.next, 0);
+    g_pool.gen++;
+    pthread_cond_broadcast(&g_pool.cv_work);
+    pthread_mutex_unlock(&g_pool.mu);
+
+    pool_drain_queue();          /* calling thread works too */
+
+    pthread_mutex_lock(&g_pool.mu);
+    while (g_pool.done < g_pool.n_jobs)
+        pthread_cond_wait(&g_pool.cv_done, &g_pool.mu);
+    g_pool.jobs = 0;
+    pthread_mutex_unlock(&g_pool.mu);
+    pthread_mutex_unlock(&g_pool.busy);
+    return 0;
+}
+
 /* entry point: decode all tiles (threads one pthread per tile column
  * when tile_cols > 1, mirroring the reference's slice threading,
  * vp9.c:1441-1552). Returns 0 or negative error. */
@@ -443,8 +540,22 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
 {
     s->n_blocks = 0;
     s->error = 0;
+    s->row_counts = 0;
+    s->records_sorted = 1;  /* single-tile decode order is final order */
+    s->n_pairs = 0;         /* the host caches+reuses the ctx across */
+    s->n_eobp = 0;          /* frames: reset every per-frame output  */
+    s->cur_cbase = 0;
     for (int i = 0; i < 3; i++)
         s->nnz_cnt[i] = s->eob_cnt[i] = 0;
+
+    /* the symbol-count arrays are pooled host-side; zero them here
+     * (GIL released) iff backward adaptation will read them */
+    if (!s->skip_counts) {
+        uint32_t *cnt[N_COUNT_FIELDS];
+        ctx_count_ptrs(s, cnt);
+        for (int f = 0; f < N_COUNT_FIELDS; f++)
+            memset(cnt[f], 0, count_sizes[f] * sizeof(uint32_t));
+    }
 
     /* re-zero the pooled grids whose stale content is not fully
      * overwritten or masked (moved here from the Python _setup_arrays
@@ -511,9 +622,20 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
     }
 
     /* threaded tile columns: outputs are column-disjoint; counts and
-     * block records are thread-private and merged afterwards */
+     * block records are thread-private and merged afterwards. Records
+     * land in a scratch region per tile and are merged into
+     * s->blocks_out in (sb-row, tile) order — the host consumes them
+     * without re-sorting. */
     int ntc = s->tile_cols;
     TileJob *jobs = calloc(ntc, sizeof(TileJob));
+    int order_ok = s->sb_rows <= 512;
+    int16_t *scratch = 0;
+    if (order_ok) {
+        scratch = malloc((size_t)s->cols * s->rows * 36
+                         * sizeof(int16_t));
+        if (!scratch)
+            order_ok = 0;
+    }
     pthread_t th[64];
     /* per-tile record capacity from the tile's actual b8 width (tile
      * splits are uneven when sb_cols % ntc != 0; an even split would
@@ -530,9 +652,11 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
         if (c0 > s->cols) c0 = s->cols;
         if (c1 > s->cols) c1 = s->cols;
         int cap = (c1 - c0) * s->rows;  /* <= one record per b8 cell */
-        j->ctx.blocks_out = s->blocks_out + blk_off * 36;
+        j->ctx.blocks_out = (order_ok ? scratch : s->blocks_out)
+                            + blk_off * 36;
         j->ctx.max_blocks = cap;
         j->ctx.n_blocks = 0;
+        j->ctx.row_counts = order_ok ? j->row_count : 0;
         blk_off += cap;
         if (s->emit_pairs) {
             /* per-tile pair segments, proportional to tile width */
@@ -554,14 +678,18 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
             j->tile_data[tr] = tdata[tr][tc];
             j->tile_size[tr] = tsize[tr][tc];
         }
-        pthread_create(&th[tc], 0, tile_thread, j);
     }
+    int pooled = pool_run(jobs, ntc) == 0;
+    if (!pooled)
+        for (int tc = 0; tc < ntc; tc++)
+            pthread_create(&th[tc], 0, tile_thread, &jobs[tc]);
     int err = 0;
     uint32_t *main_counts[N_COUNT_FIELDS];
     ctx_count_ptrs(s, main_counts);
     int total_blocks = 0;
     for (int tc = 0; tc < ntc; tc++) {
-        pthread_join(th[tc], 0);
+        if (!pooled)
+            pthread_join(th[tc], 0);
         if (jobs[tc].error) err = jobs[tc].error;
         uint32_t *p = jobs[tc].counts;
         for (int f = 0; f < N_COUNT_FIELDS; f++) {
@@ -575,14 +703,37 @@ int vp9_decode_tiles(Ctx *s, const uint8_t *data, int size)
             s->eob_cnt[i] += jobs[tc].ctx.eob_cnt[i];
         }
     }
-    /* compact the per-tile block regions into one contiguous run
-     * (order restored host-side by a stable sort on (sb_row, tile)) */
-    int w = jobs[0].ctx.n_blocks;
-    for (int tc = 1; tc < ntc; tc++) {
-        memmove(s->blocks_out + (size_t)w * 36,
-                jobs[tc].ctx.blocks_out,
-                (size_t)jobs[tc].ctx.n_blocks * 36 * sizeof(int16_t));
-        w += jobs[tc].ctx.n_blocks;
+    if (order_ok) {
+        /* ordered merge: for each sb-row, each tile's records in tile
+         * order (within-tile decode order preserved) — equivalent to a
+         * stable sort on (sb_row, tile) */
+        int16_t *dst = s->blocks_out;
+        const int16_t *src[64];
+        for (int tc = 0; tc < ntc; tc++)
+            src[tc] = jobs[tc].ctx.blocks_out;
+        for (int sbr = 0; sbr < s->sb_rows; sbr++) {
+            for (int tc = 0; tc < ntc; tc++) {
+                int n = jobs[tc].row_count[sbr];
+                if (n) {
+                    memcpy(dst, src[tc],
+                           (size_t)n * 36 * sizeof(int16_t));
+                    dst += (size_t)n * 36;
+                    src[tc] += (size_t)n * 36;
+                }
+            }
+        }
+        s->records_sorted = 1;
+        free(scratch);
+    } else {
+        /* compact the per-tile regions; host re-sorts */
+        int w = jobs[0].ctx.n_blocks;
+        for (int tc = 1; tc < ntc; tc++) {
+            memmove(s->blocks_out + (size_t)w * 36,
+                    jobs[tc].ctx.blocks_out,
+                    (size_t)jobs[tc].ctx.n_blocks * 36 * sizeof(int16_t));
+            w += jobs[tc].ctx.n_blocks;
+        }
+        s->records_sorted = 0;
     }
     s->n_blocks = total_blocks;
     if (s->emit_pairs && !err) {

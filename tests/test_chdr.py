@@ -31,7 +31,7 @@ def test_chdr_native_matches_python(name, monkeypatch):
     real = passa_native.parse_chdr_native
     checked = [0]
 
-    def checking(data, h, probs):
+    def checking(data, h, probs, **kw):
         py_probs = probs.copy()
         py_h = copy.copy(h)
         ok = real(data, h, probs)

@@ -49,7 +49,7 @@ def test_overflow_retry_bitexact():
     # buffers so every later frame overflows and takes the dense retry
     for f in dec.decode(packets[0]):
         assert hashlib.md5(f.to_bytes()).hexdigest() == ref[0]
-    key, gens, _idx = dec._geom_pool
+    key, gens = dec._geom_pool
     retried = []
     orig = passa_native.decode_tiles_native
 
