@@ -1180,7 +1180,62 @@ def precompute_host(s):
     # pack the per-block record table here too (pure host work)
     with metrics.timer("recon.recs_pack"):
         pre["recs"] = _pack_records(s)
+    # merge every upload into one flat buffer (one h2d transfer/frame)
+    with metrics.timer("recon.flat_pack"):
+        pre["flat"] = _pack_flat_upload(pre)
     s.pre = pre
+
+
+def _pack_flat_upload(pre):
+    """Concatenate every pass-B input array into ONE flat int16 host
+    buffer + slicing spec. The tunneled h2d link pays ~1 ms latency per
+    transfer regardless of size, so one merged transfer per frame beats
+    the former 5-7 separate ones. int32 arrays (loop-filter steps) ride
+    as little-endian int16 pairs and are bitcast back on device."""
+    parts, spec = [], {}
+    off = 0
+
+    def add(name, arr, kind=None):
+        nonlocal off
+        flat = arr.reshape(-1)
+        spec[name] = (off, arr.shape, kind)
+        parts.append(flat)
+        off += flat.size
+
+    add("recs", pre["recs"])
+    merged = pre.get("pairs_merged")
+    if merged is None:
+        return None  # pure-python pairs path keeps per-array uploads
+    cp_m, ep_m, _geoms = merged
+    add("cp", cp_m)
+    add("ep", ep_m)
+    for i in (0, 1):
+        sl = pre["slabs"][i]
+        if sl is not None:
+            add("slab%d" % i, sl[0])
+    if pre.get("lf") is not None:
+        ysteps, ny, uvsteps, nuv = pre["lf"]
+        if ny:
+            add("lfy", ysteps.view(np.int16), "i32")
+        if nuv:
+            add("lfuv", uvsteps.view(np.int16), "i32")
+    return np.concatenate(parts), spec
+
+
+def _slice_flat(fdev, spec, name):
+    ent = spec.get(name)
+    if ent is None:
+        return None
+    off, shape, kind = ent
+    n = 1
+    for d in shape:
+        n *= d
+    v = fdev[off:off + n].reshape(shape)
+    if kind == "i32":
+        # int16 [..., 2k] little-endian pairs -> int32 [..., k]
+        v = v.reshape(shape[:-1] + (shape[-1] // 2, 2))
+        v = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return v
 
 
 def upload_job(s):
@@ -1193,20 +1248,32 @@ def upload_job(s):
     if pre is None:
         return
     dev = {}
+    flat = pre.get("flat")
+    if flat is None and "flat" not in pre:
+        with metrics.timer("upload.flat_pack"):
+            flat = pre["flat"] = _pack_flat_upload(pre)
+    if flat is not None:
+        buf, spec = flat
+        with metrics.timer("upload.flat"):
+            fdev = jnp.asarray(buf)
+        with metrics.timer("upload.slice"):
+            dev["recs"] = _slice_flat(fdev, spec, "recs")
+            dev["cp"] = _slice_flat(fdev, spec, "cp")
+            dev["ep"] = _slice_flat(fdev, spec, "ep")
+            dev["slabs"] = [_slice_flat(fdev, spec, "slab0"),
+                            _slice_flat(fdev, spec, "slab1")]
+            if pre.get("lf") is not None:
+                dev["lfy"] = _slice_flat(fdev, spec, "lfy")
+                dev["lfuv"] = _slice_flat(fdev, spec, "lfuv")
+        pre["dev"] = dev
+        return
     with metrics.timer("upload.recs"):
         dev["recs"] = jnp.asarray(pre["recs"])
-    merged = pre.get("pairs_merged")
-    if merged is not None:
-        cp_m, ep_m, _geoms = merged
-        with metrics.timer("upload.pairs"):
-            dev["cp"] = jnp.asarray(cp_m)
-            dev["ep"] = jnp.asarray(ep_m)
-    else:
-        with metrics.timer("upload.pairs"):
-            dev["pairs"] = [
-                (jnp.asarray(p[0]), jnp.asarray(p[1]))
-                if p is not None else None
-                for p in pre["pairs"]]
+    with metrics.timer("upload.pairs"):
+        dev["pairs"] = [
+            (jnp.asarray(p[0]), jnp.asarray(p[1]))
+            if p is not None else None
+            for p in pre["pairs"]]
     with metrics.timer("upload.slabs"):
         dev["slabs"] = [jnp.asarray(sl[0]) if sl is not None else None
                         for sl in pre["slabs"]]
