@@ -20,6 +20,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# env var above is read at the sitecustomize's jax import (too late here);
+# the config API works after import
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 import pytest  # noqa: E402
 

@@ -40,7 +40,14 @@ MINI = ["mini_gray_64", "mini_gray_130x70", "mini_gray10_128x72",
         "mini_rand_130x70", "mini_rand10_96x64", "mini_rand10_tx4_64",
         "mini_rand12_130x70", "mini_rand12_444_64", "mini_rand_252q_64",
         "mini_inter_mv", "mini_scaled_mv_up", "mini_scaled_mv_dn",
-        "mini_scaled_mv_odd", "mini_seg_temporal"]
+        "mini_scaled_mv_odd", "mini_seg_temporal",
+        # flat-prob flex vectors: compound prediction, switchable/bilinear/
+        # sharp filters, hp MVs, intra-in-inter, scaled compound
+        "mini_comp", "mini_comp_sw", "mini_hp", "mini_filters",
+        "mini_comp_scaled",
+        # sharpness 1-7 (lim-LUT rebuild) and tile rows/cols
+        "mini_sharp5_130x70", "mini_sharp7_96x64", "mini_sharpvar",
+        "mini_tiles2x2", "mini_tilerows4"]
 
 
 @pytest.mark.parametrize("name", INTRA)

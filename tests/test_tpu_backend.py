@@ -1,6 +1,13 @@
 """Conformance through the TPU (JAX) pass-B backend — must equal the
 oracle bit-for-bit, same as the golden path. Runs on CPU-jax in CI;
-the same code path runs on real TPU."""
+the same code path runs on real TPU.
+
+The FULL vector corpus is gated here (VERDICT round-1 item 5): every
+vector test_e2e.py runs on the golden backend also runs through
+recon_backend="tpu". bench_1080p is the one exception by default (50
+frames of 1080p through CPU-jax; enable with FULL_TPU_E2E=1) — the real
+chip runs it on every `bench.py` invocation anyway.
+"""
 import os
 
 import pytest
@@ -8,21 +15,16 @@ import pytest
 from ffmpeg_hybrid_tpu.formats.framemd5 import (parse_framemd5,
                                                 decode_file_md5s)
 
+from test_e2e import INTRA, INTER, SPECIAL, MINI
+
 VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
 
+ALL = INTRA + INTER + MINI + [
+    n for n in SPECIAL
+    if n != "bench_1080p" or os.environ.get("FULL_TPU_E2E")]
 
-@pytest.mark.parametrize("name", ["intra_64", "intra_66x66", "intra_98x66",
-                                  "inter_64_5f", "inter_130x98_8f",
-                                  "inter_grad_8f", "mini_lossless_64",
-                                  "mini_lossless12_64",
-                                  "mini_rand_130x70", "mini_rand10_96x64",
-                                  "mini_rand10_tx4_64",
-                                  "mini_rand12_130x70",
-                                  "mini_rand12_444_64",
-                                  "mini_rand_252q_64",
-                                  "mini_inter_mv", "mini_scaled_mv_up",
-                                  "mini_scaled_mv_dn",
-                                  "mini_scaled_mv_odd"])
+
+@pytest.mark.parametrize("name", ALL)
 def test_tpu_backend_conformance(name):
     ivf = os.path.join(VEC_DIR, name + ".ivf")
     if not os.path.exists(ivf):
@@ -34,7 +36,8 @@ def test_tpu_backend_conformance(name):
         assert r == g, f"{name} frame {i}: TPU backend mismatch"
 
 
-@pytest.mark.parametrize("name", ["inter_66x66_5f", "intra_66x66"])
+@pytest.mark.parametrize("name", ["inter_66x66_5f", "intra_66x66",
+                                  "mini_comp"])
 def test_tpu_backend_no_native(name):
     """TPU pass B fed by the pure-Python pass A (record synthesis, the
     numpy pair packer, and the host loop-filter fallback through

@@ -248,7 +248,8 @@ SEG_TREE_PROBS = [128] * 7
 
 
 def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
-                 yac_qi=0, filter_level=0):
+                 yac_qi=0, filter_level=0, sharpness=0, tile_cols_log2=0,
+                 tile_rows_log2=0):
     """Uncompressed header bits up to (excl.) the compressed header size
     field. Keyframe, or an invisible intra-only frame (refreshing slot
     0). Lossless, no segmentation, single tile. Non-4:2:0 subsampling
@@ -293,7 +294,7 @@ def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
     gb.put(0, 2)                   # frame_context_idx
     # loop filter
     gb.put(filter_level, 6)        # level
-    gb.put(0, 3)                   # sharpness
+    gb.put(sharpness, 3)           # sharpness
     gb.put(0, 1)                   # lf delta enabled
     # quant (yac_qi == 0 with zero deltas -> lossless)
     gb.put(yac_qi, 8)              # yac_qi
@@ -327,14 +328,24 @@ def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
     while (sb_cols >> mx) >= 4:
         mx += 1
     mx = max(0, mx - 1)
-    # choose min tile cols: emit a 0 "no more" bit per optional increment
-    log2cols = min_log2
-    while mx > log2cols:
+    # tile cols: emit 1-bits up to the requested log2, then a 0 stop bit
+    # (unless at max); mirrors the decoder's increment loop (vp9.c:800-806)
+    log2cols = max(min_log2, tile_cols_log2)
+    assert log2cols <= mx or log2cols == min_log2, "tile_cols beyond max"
+    cur = min_log2
+    while mx > cur:
+        if cur < log2cols:
+            gb.put(1, 1)
+            cur += 1
+        else:
+            gb.put(0, 1)
+            break
+    # log2_tile_rows: decode012
+    if tile_rows_log2 == 0:
         gb.put(0, 1)
-        break  # first 0 stops the loop
-    if mx <= min_log2:
-        pass  # no bits read
-    gb.put(0, 1)                   # log2_tile_rows: decode012 -> 0
+    else:
+        gb.put(1, 1)
+        gb.put(tile_rows_log2 - 1, 1)
     return gb
 
 
@@ -582,7 +593,8 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
 
 
 def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
-                           filter_level=24, ss_h=1, ss_v=1):
+                           filter_level=24, ss_h=1, ss_v=1, sharpness=0,
+                           tile_cols_log2=0, tile_rows_log2=0):
     """Lossy keyframe with pseudo-random (but fully legal) syntax:
     random partitions, all 10 intra modes, random coefficient tokens at
     every tx size txfmmode allows, random skip flags, and a nonzero
@@ -602,7 +614,9 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
     rows = (h + 7) >> 3
 
     gbs = _header_bits(w, h, bpp, ss_h=ss_h, ss_v=ss_v, yac_qi=yac_qi,
-                       filter_level=filter_level)
+                       filter_level=filter_level, sharpness=sharpness,
+                       tile_cols_log2=tile_cols_log2,
+                       tile_rows_log2=tile_rows_log2)
     c = BoolEncoder()
     c.put(0, 128)                       # marker
     c.put((txfmmode >> 1) & 1, 128)     # txfmmode (2-bit literal)
@@ -774,15 +788,39 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
         else:
             encode_sb(r, ccol, bl + 1)
 
-    for r in range(0, sb_rows * 8, 8):
-        left["part"][:] = 0
-        left["skip"][:] = 0
-        left["mode"][:] = 2
-        left["ynnz"][:] = 0
-        left["uvnnz"][:] = 0
-        for ccol in range(0, sb_cols * 8, 8):
-            encode_sb(r, ccol, 0)
-    return _finish(hdr, chdr, t.bytes())
+    # tile walk: tiles in (row, col) order, each with its own bool coder;
+    # above-ctx arrays are frame-wide, left ctx resets per (tile, sb-row)
+    # (reference: decode_tiles / set_tile_offset, vp9.c:1244-1438)
+    min_log2 = 0
+    while sb_cols > (64 << min_log2):
+        min_log2 += 1
+    lc = max(min_log2, tile_cols_log2)
+    lr = tile_rows_log2
+    tiles = []
+    for tr in range(1 << lr):
+        r0 = min((tr * sb_rows) >> lr, sb_rows) * 8
+        r1 = min(((tr + 1) * sb_rows) >> lr, sb_rows) * 8
+        for tc in range(1 << lc):
+            c0 = min((tc * sb_cols) >> lc, sb_cols) * 8
+            c1 = min(((tc + 1) * sb_cols) >> lc, sb_cols) * 8
+            t = BoolEncoder()
+            t.put(0, 128)
+            ce = CoeffEncoder(t, bpp)
+            for r in range(r0, r1, 8):
+                left["part"][:] = 0
+                left["skip"][:] = 0
+                left["mode"][:] = 2
+                left["ynnz"][:] = 0
+                left["uvnnz"][:] = 0
+                for ccol in range(c0, c1, 8):
+                    encode_sb(r, ccol, 0)
+            tiles.append(t.bytes())
+    data = b""
+    for i, tb in enumerate(tiles):
+        if i < len(tiles) - 1:
+            data += len(tb).to_bytes(4, "big")
+        data += tb
+    return _finish(hdr, chdr, data)
 
 
 def main():
@@ -883,6 +921,69 @@ def main():
         with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
             fh.write(out.stdout)
         print(name, f"{w}x{h}@{bpp}bit txm={txm} qi={qi} lf={flt}")
+
+    # sharpness 1..7 (lim-LUT rebuild, reference vp9.c:669-697) and
+    # tile rows/cols (per-tile coders + cross-tile loop filter)
+    sharp_specs = [
+        ("mini_sharp5_130x70", 130, 70, 5, 40, 6),
+        ("mini_sharp7_96x64", 96, 64, 7, 63, 7),
+    ]
+    for name, w, h, sharp, flt, seed in sharp_specs:
+        pkt = encode_keyframe_random(w, h, 8, seed=seed, txfmmode=3,
+                                     yac_qi=60, filter_level=flt,
+                                     sharpness=sharp)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1, [(0, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode == 0:
+            with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+                fh.write(out.stdout)
+            print(name, f"sharpness={sharp} lf={flt}")
+        else:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+
+    # sharpness CHANGING between frames (the LUT rebuild path when
+    # sharpness differs from the previous frame)
+    pkts = [(i * 33, encode_keyframe_random(130, 70, 8, seed=8 + i,
+                                            yac_qi=70, filter_level=35,
+                                            sharpness=s))
+            for i, s in enumerate((2, 7, 0, 4))]
+    path = os.path.join(vec, "mini_sharpvar.ivf")
+    write_ivf(path, b"VP90", 130, 70, 30, 1, pkts)
+    out = subprocess.run(
+        [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+         "-f", "framemd5", "-"], capture_output=True)
+    if out.returncode == 0:
+        with open(os.path.join(vec, "mini_sharpvar.framemd5"), "wb") as fh:
+            fh.write(out.stdout)
+        print("mini_sharpvar: 4 keyframes, sharpness 2/7/0/4")
+    else:
+        print("mini_sharpvar ORACLE FAILED:",
+              out.stderr.decode().strip().splitlines()[-1])
+
+    tile_specs = [
+        ("mini_tiles2x2", 520, 140, 1, 1, 32, 12),
+        ("mini_tilerows4", 96, 260, 0, 2, 28, 13),
+    ]
+    for name, w, h, lc, lr, flt, seed in tile_specs:
+        pkt = encode_keyframe_random(w, h, 8, seed=seed, yac_qi=80,
+                                     filter_level=flt, tile_cols_log2=lc,
+                                     tile_rows_log2=lr)
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1, [(0, pkt)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode == 0:
+            with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+                fh.write(out.stdout)
+            print(name, f"{w}x{h} tiles {1 << lc}x{1 << lr}")
+        else:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
 
     # segmentation: explicit seg map, segment 1 with the SKIP feature
     # (checkerboard of coded / skip-forced superblocks)
@@ -1472,5 +1573,565 @@ def encode_inter_zeromv(w, h, seg=False):
     return _finish(hdr, chdr, t.bytes())
 
 
+# ===========================================================================
+# Flat-probability flexible inter encoder (round 2).
+#
+# Every context-coded probability group (skip, is_inter, single_ref, comp,
+# comp_ref, mv_mode, filter, tx, y_mode, partition, coefficients) is set to
+# the SAME value (128) for all contexts via compressed-header updates
+# (the update_prob subexponential coding, reference: vp9.c:399-455), so the
+# encoder needs no neighbor-context mirroring at all: the decoder still
+# derives every context (exercising vp9block.c:338-575 comp/ref ctx, filter
+# ctx, nnz ctx ...) but the bit probabilities no longer depend on it.
+#
+# This unlocks e2e vectors for: compound prediction (comppredmode 1/2),
+# switchable + bilinear + sharp interp filters, high-precision MVs,
+# intra blocks inside inter frames, and inter coefficients.
+# ===========================================================================
+
+from ffmpeg_hybrid_tpu.codecs.vp9.rac import INV_MAP_TABLE
+
+_MAP_INV = {}
+for _d, _m in enumerate(INV_MAP_TABLE):
+    _MAP_INV.setdefault(int(_m), _d)
+
+
+def _recenter_fwd(r, c):
+    """Inverse of inv_recenter_nonneg(v, c) == r."""
+    if r > 2 * c:
+        return r
+    if r >= c:
+        return 2 * (r - c)
+    return 2 * (c - r) - 1
+
+
+def put_update_prob(t, old, new):
+    """Encode the subexp delta so that update_prob(dec, old) == new.
+    (The prob-update gate bit put(1, 252) is the caller's job.)"""
+    if old <= 128:
+        m = _recenter_fwd(new - 1, old - 1)
+    else:
+        m = _recenter_fwd(255 - new, 255 - old)
+    d = _MAP_INV[m]
+    if d < 16:
+        t.put(0, 128)
+        t.put_literal(d, 4)
+    elif d < 32:
+        t.put(1, 128)
+        t.put(0, 128)
+        t.put_literal(d - 16, 4)
+    elif d < 64:
+        t.put(1, 128)
+        t.put(1, 128)
+        t.put(0, 128)
+        t.put_literal(d - 32, 5)
+    else:
+        t.put(1, 128)
+        t.put(1, 128)
+        t.put(1, 128)
+        dd = d - 64
+        if dd < 65:
+            t.put_literal(dd, 7)
+        else:
+            b = (dd + 65) & 1
+            x = (dd + 65 - b) >> 1
+            t.put_literal(x, 7)
+            t.put(b, 128)
+
+
+def _gated_update(c, old, new):
+    """Per-prob update: gate bit at 252, then the subexp delta (a no-op
+    update old==new is not representable -> gate 0)."""
+    if old == new:
+        c.put(0, 252)
+    else:
+        c.put(1, 252)
+        put_update_prob(c, old, new)
+
+
+def _flat_chdr(allowcomp, comppredmode, filt_switch, hp):
+    """Compressed header for a lossless inter frame that sets every
+    context-indexed probability group to 128 (mirrors the field order of
+    header.parse_compressed_header / reference vp9.c:908-1113)."""
+    FLAT = 128
+    c = BoolEncoder()
+    c.put(0, 128)                       # marker
+    # lossless -> txfmmode implied TX_4X4, no tx prob updates
+
+    # coef updates for tx 4x4 only (loop breaks at i == txfmmode == 0)
+    c.put(1, 128)                       # update flag for tx 4x4
+    D = T.DEFAULT_COEF_PROBS
+    for j in range(2):
+        for k in range(2):
+            for l in range(6):
+                for m in range(6):
+                    if m >= 3 and l == 0:
+                        break
+                    for n in range(3):
+                        _gated_update(c, int(D[0, j, k, l, m, n]), FLAT)
+
+    for i in range(3):                  # skip
+        _gated_update(c, int(T.PROBS_SKIP[i]), FLAT)
+    for i in range(7):                  # mv_mode (inter mode tree)
+        for j in range(3):
+            _gated_update(c, int(T.PROBS_MV_MODE[i, j]), FLAT)
+    if filt_switch:
+        for i in range(4):
+            for j in range(2):
+                _gated_update(c, int(T.PROBS_FILTER[i, j]), FLAT)
+    for i in range(4):                  # is_inter
+        _gated_update(c, int(T.PROBS_INTRA[i]), FLAT)
+    if allowcomp:
+        c.put(1 if comppredmode else 0, 128)
+        if comppredmode:
+            c.put(1 if comppredmode == 2 else 0, 128)
+        if comppredmode == 2:
+            for i in range(5):
+                _gated_update(c, int(T.PROBS_COMP[i]), FLAT)
+    if comppredmode != 1:
+        for i in range(5):
+            for j in range(2):
+                _gated_update(c, int(T.PROBS_SINGLE_REF[i, j]), FLAT)
+    if comppredmode != 0:
+        for i in range(5):
+            _gated_update(c, int(T.PROBS_COMP_REF[i]), FLAT)
+    for i in range(4):                  # y_mode (intra-in-inter)
+        for j in range(9):
+            _gated_update(c, int(T.PROBS_Y_MODE[i, j]), FLAT)
+    for i in range(4):                  # partition
+        for j in range(4):
+            for k in range(3):
+                _gated_update(c, int(T.PROBS_PARTITION[3 - i, j, k]), FLAT)
+    # mv probs: keep defaults (no context indexing -> nothing to flatten)
+    n_gates = 3 + 2 * (1 + 10 + 1 + 10) + 2 * (2 * 3 + 3)
+    if hp:
+        n_gates += 2 * 2
+    for _ in range(n_gates):
+        c.put(0, 252)
+    return c.bytes()
+
+
+def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
+                      refidx=(0, 0, 0), refresh_mask=0x02, hp=0,
+                      filtermode=0, filter_level=0, sharpness=0,
+                      coeffs=False, p_intra=0.0, p_skip=0.3,
+                      mv_mags=(0, 2, 4, 8, 16, 64, 256), show=True):
+    """Visible lossless inter frame with flat per-context probabilities.
+
+    Exercises (depending on flags): compound prediction incl. the comp /
+    comp_ref / single_ref context derivations (reference:
+    vp9block.c:338-575), switchable/bilinear/sharp interp filters
+    (vp9dsp.c:32-85 banks), high-precision MVs (vp9mvs.c:236-289 hp bits),
+    intra blocks in inter frames, inter coefficients, nonzero loop-filter
+    level + sharpness on inter content.
+    """
+    from ffmpeg_hybrid_tpu.codecs.vp9.probs import Probs, coef_full
+
+    rng = np.random.RandomState(seed)
+    P = Probs.defaults()
+    allowcomp = int(signbias[0] != signbias[1] or signbias[0] != signbias[2])
+    if not allowcomp:
+        comppredmode = 0
+    filt_switch = filtermode == 4
+
+    # ---- uncompressed header ----
+    gb = BitWriter()
+    gb.put(0b10, 2)
+    gb.put(0, 1)
+    gb.put(0, 1)            # profile 0
+    gb.put(0, 1)            # show_existing
+    gb.put(1, 1)            # non-keyframe
+    gb.put(1 if show else 0, 1)
+    gb.put(0, 1)            # error_resilient
+    if not show:
+        gb.put(0, 1)        # intra_only = 0
+    gb.put(0, 2)            # reset_frame_context
+    gb.put(refresh_mask, 8)
+    for i in range(3):
+        gb.put(refidx[i], 3)
+        gb.put(signbias[i], 1)
+    gb.put(0, 1)            # size from ref0? no
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(w - 1, 16)
+    gb.put(h - 1, 16)
+    gb.put(0, 1)            # display size
+    gb.put(hp, 1)           # high precision mvs
+    if filt_switch:
+        gb.put(1, 1)
+    else:
+        gb.put(0, 1)
+        gb.put(filtermode, 2)
+    gb.put(0, 1)            # refresh_frame_context
+    gb.put(0, 1)            # frame_parallel
+    gb.put(0, 2)            # frame_context_idx
+    gb.put(filter_level, 6)
+    gb.put(sharpness, 3)
+    gb.put(0, 1)            # lf delta
+    gb.put(0, 8)            # yac_qi = 0 (lossless)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)
+    gb.put(0, 1)            # segmentation off
+    sb_cols = (w + 63) >> 6
+    min_log2 = 0
+    while sb_cols > (64 << min_log2):
+        min_log2 += 1
+    mx = 0
+    while (sb_cols >> mx) >= 4:
+        mx += 1
+    mx = max(0, mx - 1)
+    if mx > min_log2:
+        gb.put(0, 1)
+    gb.put(0, 1)            # log2_tile_rows
+
+    chdr = _flat_chdr(allowcomp, comppredmode, filt_switch, hp)
+    gb.put(len(chdr), 16)
+    hdr = gb.bytes()
+
+    # ---- tile data ----
+    t = BoolEncoder()
+    t.put(0, 128)
+    sb_rows = (h + 63) >> 6
+    cols = (w + 7) >> 3
+    rows = (h + 7) >> 3
+    NEARESTMV, NEARMV, ZEROMV, NEWMV = 10, 11, 12, 13
+    FLAT2 = np.full(3, 128, np.uint8)
+    FLAT9 = np.full(9, 128, np.uint8)
+    coef11_flat = coef_full(np.full((4, 2, 2, 6, 6, 3), 128, np.uint8))
+    ce = CoeffEncoder(t, 8)
+    from ffmpeg_hybrid_tpu.codecs.vp9.blockdec import SIZE_GROUP
+
+    def put_mv_comp(idx, v):
+        """Inverse of read_mv_component (vp9mvs.c:236-289)."""
+        sign = v < 0
+        n = abs(v) - 1
+        if not hp:
+            assert n & 1, "hp off: only even magnitudes codable"
+        t.put(1 if sign else 0, int(P.mv_sign[idx]))
+        if n < 16:
+            t.put_tree(T.MV_CLASS_TREE, P.mv_classes[idx], 0)
+            t.put(n >> 3, int(P.mv_class0[idx]))
+            t.put_tree(T.MV_FP_TREE, P.mv_class0_fp[idx][n >> 3],
+                       (n >> 1) & 3)
+            if hp:
+                t.put(n & 1, int(P.mv_class0_hp[idx]))
+        else:
+            cl = (n >> 3).bit_length() - 1
+            t.put_tree(T.MV_CLASS_TREE, P.mv_classes[idx], cl)
+            off = n - (8 << cl)
+            for m in range(cl):
+                t.put((off >> (3 + m)) & 1, int(P.mv_bits[idx][m]))
+            t.put_tree(T.MV_FP_TREE, P.mv_fp[idx], (off >> 1) & 3)
+            if hp:
+                t.put(off & 1, int(P.mv_hp[idx]))
+            else:
+                assert off & 1
+
+    def put_delta():
+        dy = int(rng.choice(mv_mags)) * int(rng.choice([-1, 1]))
+        dx = int(rng.choice(mv_mags)) * int(rng.choice([-1, 1]))
+        if hp:  # odd magnitudes only codable with hp
+            dy += int(rng.randint(0, 2)) * (1 if dy >= 0 else -1)
+            dx += int(rng.randint(0, 2)) * (1 if dx >= 0 else -1)
+        j = (2 if dy else 0) | (1 if dx else 0)
+        t.put_tree(T.MV_JOINT_TREE, P.mv_joint, j)
+        if dy:
+            put_mv_comp(0, dy)
+        if dx:
+            put_mv_comp(1, dx)
+
+    def put_mode_and_mvs(n_refs):
+        mode = int(rng.choice([NEARESTMV, NEARMV, ZEROMV, NEWMV],
+                              p=[0.15, 0.15, 0.15, 0.55]))
+        t.put_tree(T.INTER_MODE_TREE, FLAT2, mode)
+        return mode
+
+    def put_deltas(mode, n_refs):
+        if mode == NEWMV:
+            for _ in range(n_refs):
+                put_delta()
+
+    def enc_plane_coeffs(modes, intra, bs, r, ccol, sh, sv, probs11, uv):
+        """Mirror of decode_coeffs' per-plane tx-block walk for lossless
+        (4x4 WHT), flat probs -> nnz arg irrelevant."""
+        w4 = int(T.BWH_TAB[1][bs][0]) * 2
+        h4 = int(T.BWH_TAB[1][bs][1]) * 2
+        end_x = min(2 * (cols - ccol), w4)
+        end_y = min(2 * (rows - r), h4)
+        if uv:
+            end_x >>= sh
+            end_y >>= sv
+        n = 0
+        for yy in range(0, end_y):
+            for xx in range(0, end_x):
+                if uv:
+                    txtp = 0
+                    scan, nb = T.SCANS[0][0], T.SCANS_NB[0][0]
+                else:
+                    mode_idx = n if bs > 9 else 0
+                    txtp = int(T.INTRA_TXFM_TYPE[modes[mode_idx]]) \
+                        if intra else 0
+                    scan, nb = T.SCANS[4][txtp], T.SCANS_NB[4][txtp]
+                toks = np.zeros((4, 4), np.int64)
+                k = int(rng.randint(0, 6))
+                if k:
+                    pos = rng.choice(16, size=k, replace=False)
+                    toks.reshape(-1)[pos] = rng.choice(
+                        [1, 2, 3, 5, 9, 20, 80], size=k) * \
+                        rng.choice([-1, 1], k)
+                ce.encode_block(toks, probs11, 0, scan, nb)
+                n += 1
+
+    def encode_block(r, ccol, bl, bp):
+        bs = bl * 3 + bp
+        skip = bool(rng.rand() < p_skip) if coeffs else True
+        t.put(1 if skip else 0, 128)            # skip (flat)
+        intra = bool(rng.rand() < p_intra)
+        t.put(0 if intra else 1, 128)           # is_inter (flat)
+        # lossless -> no tx size bits
+        modes = [2, 2, 2, 2]
+        if intra:
+            # y modes (reference: vp9block.c:217-318 inter-frame intra)
+            if bs > 9:
+                modes[0] = int(rng.randint(0, 10))
+                t.put_tree(T.INTRAMODE_TREE, FLAT9, modes[0])
+                if bs != 10:
+                    modes[1] = int(rng.randint(0, 10))
+                    t.put_tree(T.INTRAMODE_TREE, FLAT9, modes[1])
+                else:
+                    modes[1] = modes[0]
+                if bs != 11:
+                    modes[2] = int(rng.randint(0, 10))
+                    t.put_tree(T.INTRAMODE_TREE, FLAT9, modes[2])
+                    if bs != 10:
+                        modes[3] = int(rng.randint(0, 10))
+                        t.put_tree(T.INTRAMODE_TREE, FLAT9, modes[3])
+                    else:
+                        modes[3] = modes[2]
+                else:
+                    modes[2] = modes[0]
+                    modes[3] = modes[1]
+            else:
+                m = int(rng.randint(0, 10))
+                t.put_tree(T.INTRAMODE_TREE, FLAT9, m)
+                modes = [m, m, m, m]
+            uvm = int(rng.randint(0, 10))
+            t.put_tree(T.INTRAMODE_TREE, P.uv_mode[modes[3]], uvm)
+        else:
+            # --- refs (flat comp/comp_ref/single_ref) ---
+            comp = 0
+            if comppredmode == 2:
+                comp = int(rng.rand() < 0.5)
+                t.put(comp, 128)
+            elif comppredmode == 1:
+                comp = 1
+            if comp:
+                t.put(int(rng.rand() < 0.5), 128)   # comp_ref bit
+            else:
+                bit0 = int(rng.rand() < 0.5)
+                t.put(bit0, 128)                    # single_ref bit 0
+                if bit0:
+                    t.put(int(rng.rand() < 0.5), 128)
+            n_refs = 2 if comp else 1
+            if bs <= 9:
+                mode = put_mode_and_mvs(n_refs)
+                modes = [mode] * 4
+            if filt_switch:
+                t.put_tree(T.FILTER_TREE, FLAT2[:2], int(rng.randint(0, 3)))
+            if bs > 9:
+                modes[0] = put_mode_and_mvs(n_refs)
+                put_deltas(modes[0], n_refs)
+                if bs != 10:
+                    modes[1] = put_mode_and_mvs(n_refs)
+                    put_deltas(modes[1], n_refs)
+                else:
+                    modes[1] = modes[0]
+                if bs != 11:
+                    modes[2] = put_mode_and_mvs(n_refs)
+                    put_deltas(modes[2], n_refs)
+                    if bs != 10:
+                        modes[3] = put_mode_and_mvs(n_refs)
+                        put_deltas(modes[3], n_refs)
+                    else:
+                        modes[3] = modes[2]
+                else:
+                    modes[2] = modes[0]
+                    modes[3] = modes[1]
+            else:
+                put_deltas(modes[0], n_refs)
+        if not skip:
+            enc_plane_coeffs(modes, intra, bs, r, ccol, 1, 1,
+                             coef11_flat[0][0][0 if intra else 1], False)
+            for _pl in range(2):
+                enc_plane_coeffs(modes, intra, bs, r, ccol, 1, 1,
+                                 coef11_flat[0][1][0 if intra else 1], True)
+
+    def encode_sb(r, ccol, bl):
+        hbs = 4 >> bl
+        if bl == 3:
+            bp = int(rng.choice([0, 1, 2, 3], p=[0.4, 0.2, 0.2, 0.2]))
+            t.put_tree(T.PARTITION_TREE, FLAT2, bp)
+            encode_block(r, ccol, bl, bp)
+        elif ccol + hbs < cols:
+            if r + hbs < rows:
+                bp = int(rng.choice([0, 1, 2, 3], p=[0.35, 0.15, 0.15, 0.35]))
+                t.put_tree(T.PARTITION_TREE, FLAT2, bp)
+                if bp == 0:
+                    encode_block(r, ccol, bl, 0)
+                elif bp == 1:
+                    encode_block(r, ccol, bl, 1)
+                    encode_block(r + hbs, ccol, bl, 1)
+                elif bp == 2:
+                    encode_block(r, ccol, bl, 2)
+                    encode_block(r, ccol + hbs, bl, 2)
+                else:
+                    encode_sb(r, ccol, bl + 1)
+                    encode_sb(r, ccol + hbs, bl + 1)
+                    encode_sb(r + hbs, ccol, bl + 1)
+                    encode_sb(r + hbs, ccol + hbs, bl + 1)
+            else:
+                split = bool(rng.rand() < 0.5)
+                t.put(1 if split else 0, 128)
+                if split:
+                    encode_sb(r, ccol, bl + 1)
+                    encode_sb(r, ccol + hbs, bl + 1)
+                else:
+                    encode_block(r, ccol, bl, 1)
+        elif r + hbs < rows:
+            split = bool(rng.rand() < 0.5)
+            t.put(1 if split else 0, 128)
+            if split:
+                encode_sb(r, ccol, bl + 1)
+                encode_sb(r + hbs, ccol, bl + 1)
+            else:
+                encode_block(r, ccol, bl, 2)
+        else:
+            encode_sb(r, ccol, bl + 1)
+
+    for r in range(0, sb_rows * 8, 8):
+        for ccol in range(0, sb_cols * 8, 8):
+            encode_sb(r, ccol, 0)
+    return _finish(hdr, chdr, t.bytes())
+
+
+def _flex_selftest():
+    """put_update_prob must round-trip through the decoder for every
+    (old, new=128) pair used above plus a sweep."""
+    from ffmpeg_hybrid_tpu.codecs.vp9.rac import BoolDecoder, update_prob
+    pairs = [(o, 128) for o in range(1, 256) if o != 128] + \
+            [(128, n) for n in range(1, 256) if n != 128] + \
+            [(17, 213), (240, 3)]
+    t = BoolEncoder()
+    t.put(0, 128)
+    for old, new in pairs:
+        put_update_prob(t, old, new)
+    dec = BoolDecoder(t.bytes())
+    assert not dec.get()
+    for old, new in pairs:
+        got = update_prob(dec, old)
+        assert got == new, (old, new, got)
+
+
+def flex_main():
+    import subprocess
+    from ffmpeg_hybrid_tpu.formats.ivf import write_ivf
+    _flex_selftest()
+    vec = os.path.join(os.path.dirname(__file__), "..", "vectors")
+    oracle = os.path.join(os.path.dirname(__file__), "..", ".oracle",
+                          "build", "ffmpeg")
+    rng = np.random.RandomState(77)
+
+    def kf(w, h, seed):
+        r = np.random.RandomState(seed)
+        return encode_keyframe_lossless(
+            r.randint(0, 256, (h, w)),
+            r.randint(0, 256, ((h + 1) // 2, (w + 1) // 2)),
+            r.randint(0, 256, ((h + 1) // 2, (w + 1) // 2)), 8)
+
+    def emit(name, w, h, pkts):
+        path = os.path.join(vec, name + ".ivf")
+        write_ivf(path, b"VP90", w, h, 30, 1,
+                  [(i * 33, p) for i, p in enumerate(pkts)])
+        out = subprocess.run(
+            [oracle, "-nostdin", "-bitexact", "-i", path, "-map", "0:v",
+             "-noautoscale", "-f", "framemd5", "-"], capture_output=True)
+        if out.returncode != 0:
+            print(name, "ORACLE FAILED:",
+                  out.stderr.decode().strip().splitlines()[-1])
+            return False
+        with open(os.path.join(vec, name + ".framemd5"), "wb") as fh:
+            fh.write(out.stdout)
+        nf = len([l for l in out.stdout.decode().splitlines()
+                  if l and not l.startswith("#")])
+        print(name, f"{w}x{h}: {nf} frame(s)")
+        return True
+
+    # compound prediction, always-on (comppredmode=1): kf fills all slots
+    # with A; flex single-ref NEWMV refreshes slot 1 with B; the compound
+    # frame mixes fixed ref (slot 0, bias 1) with var refs {slot0, slot1}
+    w, h = 96, 96
+    k = kf(w, h, 101)
+    f1 = encode_inter_flex(w, h, seed=102, refresh_mask=0x02,
+                           mv_mags=(0, 2, 4, 8, 16))
+    f2 = encode_inter_flex(w, h, seed=103, comppredmode=1,
+                           signbias=(0, 0, 1), refidx=(0, 1, 0),
+                           refresh_mask=0x04, mv_mags=(0, 2, 8, 32))
+    emit("mini_comp", w, h, [k, f1, f2])
+
+    # switchable compound + switchable filter + intra-in-inter + coeffs +
+    # loop filter, odd size (the kitchen sink)
+    w, h = 98, 66
+    k = kf(w, h, 111)
+    f1 = encode_inter_flex(w, h, seed=112, refresh_mask=0x02,
+                           mv_mags=(0, 2, 4, 16))
+    f2 = encode_inter_flex(w, h, seed=113, comppredmode=2,
+                           signbias=(0, 1, 1), refidx=(0, 1, 0),
+                           refresh_mask=0x04, filtermode=4,
+                           filter_level=28, coeffs=True, p_intra=0.25,
+                           mv_mags=(0, 2, 4, 8, 64))
+    f3 = encode_inter_flex(w, h, seed=114, comppredmode=2,
+                           signbias=(1, 0, 1), refidx=(1, 2, 0),
+                           refresh_mask=0x08, filtermode=4,
+                           filter_level=12, coeffs=True, p_intra=0.25,
+                           mv_mags=(0, 2, 4, 8, 64))
+    emit("mini_comp_sw", w, h, [k, f1, f2, f3])
+
+    # high-precision MVs (hp bits read for every coded component while
+    # all |mv| stay < 64): single-ref and compound frames
+    w, h = 96, 96
+    k = kf(w, h, 121)
+    f1 = encode_inter_flex(w, h, seed=122, hp=1, refresh_mask=0x02,
+                           mv_mags=(0, 2, 2, 4), p_skip=1.0)
+    f2 = encode_inter_flex(w, h, seed=123, hp=1, comppredmode=2,
+                           signbias=(0, 0, 1), refidx=(0, 1, 0),
+                           refresh_mask=0x04, mv_mags=(0, 2, 2, 4),
+                           p_skip=1.0)
+    emit("mini_hp", w, h, [k, f1, f2])
+
+    # bilinear and sharp interp filters (header-fixed filtermode 3 / 2)
+    w, h = 96, 96
+    k = kf(w, h, 131)
+    f1 = encode_inter_flex(w, h, seed=132, filtermode=3, refresh_mask=0x02,
+                           mv_mags=(0, 2, 4, 8, 16, 64))
+    f2 = encode_inter_flex(w, h, seed=133, filtermode=2, refresh_mask=0x04,
+                           mv_mags=(0, 2, 4, 8, 16, 64))
+    f3 = encode_inter_flex(w, h, seed=134, filtermode=1, refresh_mask=0x08,
+                           mv_mags=(0, 2, 4, 8, 16, 64))
+    emit("mini_filters", w, h, [k, f1, f2, f3])
+
+    # compound prediction against scaled references: refs are 96x96, the
+    # compound frame is 128x128 -> scaled-MC avg path
+    w, h = 96, 96
+    k = kf(w, h, 141)
+    f1 = encode_inter_flex(w, h, seed=142, refresh_mask=0x02,
+                           mv_mags=(0, 2, 8))
+    f2 = encode_inter_flex(128, 128, seed=143, comppredmode=1,
+                           signbias=(0, 0, 1), refidx=(0, 1, 0),
+                           refresh_mask=0x04, mv_mags=(0, 2, 8, 32))
+    emit("mini_comp_scaled", 128, 128, [k, f1, f2])
+
+
 if __name__ == "__main__":
     main()
+    flex_main()
