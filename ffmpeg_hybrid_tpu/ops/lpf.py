@@ -138,7 +138,7 @@ def _eih(level, idx, lim_lut, mblim_lut):
 
 
 def filter_plane_cols(plane, base_y, base_x, col, ss_h, ss_v, level, mask,
-                      lim_lut, mblim_lut, bpp):
+                      lim_lut, mblim_lut, bpp, apply=_apply):
     """Vertical-edge pass for one superblock's plane region.
     level: flat [64] uint8 (8x8 grid); mask: [8][4] bitmasks.
     reference: filter_plane_cols (vp9lpf.c:31-105). The reference's
@@ -165,40 +165,40 @@ def filter_plane_cols(plane, base_y, base_x, col, ss_h, ss_v, level, mask,
                     E, I, H = _eih(level, l, lim_lut, mblim_lut)
                     if int(hmask1[0]) & x:
                         if int(hmask2[0]) & x:
-                            _apply(plane, py, px, 0, 16, E, I, H, bpp, 16)
+                            apply(plane, py, px, 0, 16, E, I, H, bpp, 16)
                         else:
-                            _apply(plane, py, px, 0, 16, E, I, H, bpp, 8)
+                            apply(plane, py, px, 0, 16, E, I, H, bpp, 8)
                     elif hm2 & x:
                         wd1 = 8 if int(hmask1[1]) & x else 4
                         wd2 = 8 if int(hmask2[1]) & x else 4
-                        _apply(plane, py, px, 0, wd1, E, I, H, bpp, 8)
+                        apply(plane, py, px, 0, wd1, E, I, H, bpp, 8)
                         E2, I2, H2 = _eih(level, l + (8 << ss_v),
                                           lim_lut, mblim_lut)
-                        _apply(plane, py + 8, px, 0, wd2, E2, I2, H2, bpp, 8)
+                        apply(plane, py + 8, px, 0, wd2, E2, I2, H2, bpp, 8)
                     else:
                         wd1 = 8 if int(hmask1[1]) & x else 4
-                        _apply(plane, py, px, 0, wd1, E, I, H, bpp, 8)
+                        apply(plane, py, px, 0, wd1, E, I, H, bpp, 8)
                 elif hm2 & x:
                     E, I, H = _eih(level, l + (8 << ss_v), lim_lut,
                                    mblim_lut)
                     wd2 = 8 if int(hmask2[1]) & x else 4
-                    _apply(plane, py + 8, px, 0, wd2, E, I, H, bpp, 8)
+                    apply(plane, py + 8, px, 0, wd2, E, I, H, bpp, 8)
             if ss_h:
                 if x & 0xAA:
                     l += 2
             else:
                 if hm13 & x:
                     E, I, H = _eih(level, l, lim_lut, mblim_lut)
-                    _apply(plane, py, px + 4, 0, 4, E, I, H, bpp, 8)
+                    apply(plane, py, px + 4, 0, 4, E, I, H, bpp, 8)
                     if hm23 & x:
                         E2, I2, H2 = _eih(level, l + (8 << ss_v),
                                           lim_lut, mblim_lut)
-                        _apply(plane, py + 8, px + 4, 0, 4, E2, I2, H2,
+                        apply(plane, py + 8, px + 4, 0, 4, E2, I2, H2,
                                bpp, 8)
                 elif hm23 & x:
                     E, I, H = _eih(level, l + (8 << ss_v), lim_lut,
                                    mblim_lut)
-                    _apply(plane, py + 8, px + 4, 0, 4, E, I, H, bpp, 8)
+                    apply(plane, py + 8, px + 4, 0, 4, E, I, H, bpp, 8)
                 l += 1
             x <<= 1
             cx += 1
@@ -207,7 +207,7 @@ def filter_plane_cols(plane, base_y, base_x, col, ss_h, ss_v, level, mask,
 
 
 def filter_plane_rows(plane, base_y, base_x, row, ss_h, ss_v, level, mask,
-                      lim_lut, mblim_lut, bpp):
+                      lim_lut, mblim_lut, bpp, apply=_apply):
     """Horizontal-edge pass (reference: filter_plane_rows, vp9lpf.c:107-181).
     """
     lvl = 0
@@ -227,35 +227,35 @@ def filter_plane_rows(plane, base_y, base_x, row, ss_h, ss_v, level, mask,
                     E, I, H = _eih(level, l, lim_lut, mblim_lut)
                     if int(vmask[0]) & x:
                         if int(vmask[0]) & x2:
-                            _apply(plane, py, px, 1, 16, E, I, H, bpp, 16)
+                            apply(plane, py, px, 1, 16, E, I, H, bpp, 16)
                         else:
-                            _apply(plane, py, px, 1, 16, E, I, H, bpp, 8)
+                            apply(plane, py, px, 1, 16, E, I, H, bpp, 8)
                     elif vm & x2:
                         wd1 = 8 if int(vmask[1]) & x else 4
                         wd2 = 8 if int(vmask[1]) & x2 else 4
-                        _apply(plane, py, px, 1, wd1, E, I, H, bpp, 8)
+                        apply(plane, py, px, 1, wd1, E, I, H, bpp, 8)
                         E2, I2, H2 = _eih(level, l + 1 + ss_h,
                                           lim_lut, mblim_lut)
-                        _apply(plane, py, px + 8, 1, wd2, E2, I2, H2, bpp, 8)
+                        apply(plane, py, px + 8, 1, wd2, E2, I2, H2, bpp, 8)
                     else:
                         wd1 = 8 if int(vmask[1]) & x else 4
-                        _apply(plane, py, px, 1, wd1, E, I, H, bpp, 8)
+                        apply(plane, py, px, 1, wd1, E, I, H, bpp, 8)
                 elif vm & x2:
                     E, I, H = _eih(level, l + 1 + ss_h, lim_lut, mblim_lut)
                     wd2 = 8 if int(vmask[1]) & x2 else 4
-                    _apply(plane, py, px + 8, 1, wd2, E, I, H, bpp, 8)
+                    apply(plane, py, px + 8, 1, wd2, E, I, H, bpp, 8)
             if not ss_v:
                 if vm3 & x:
                     E, I, H = _eih(level, l, lim_lut, mblim_lut)
-                    _apply(plane, py + 4, px, 1, 4, E, I, H, bpp, 8)
+                    apply(plane, py + 4, px, 1, 4, E, I, H, bpp, 8)
                     if vm3 & x2:
                         E2, I2, H2 = _eih(level, l + 1 + ss_h,
                                           lim_lut, mblim_lut)
-                        _apply(plane, py + 4, px + 8, 1, 4, E2, I2, H2,
+                        apply(plane, py + 4, px + 8, 1, 4, E2, I2, H2,
                                bpp, 8)
                 elif vm3 & x2:
                     E, I, H = _eih(level, l + 1 + ss_h, lim_lut, mblim_lut)
-                    _apply(plane, py + 4, px + 8, 1, 4, E, I, H, bpp, 8)
+                    apply(plane, py + 4, px + 8, 1, 4, E, I, H, bpp, 8)
             x <<= 2 << ss_h
             cx += 1
             l += 2 << ss_h
@@ -267,7 +267,7 @@ def filter_plane_rows(plane, base_y, base_x, row, ss_h, ss_v, level, mask,
 
 
 def loopfilter_sb(planes, level, masks, row, col, ss_h, ss_v, lim_lut,
-                  mblim_lut, bpp):
+                  mblim_lut, bpp, apply=_apply):
     """Filter one 64x64 superblock across Y/U/V.
     planes: [y, u, v] numpy int planes (padded). level: [8,8] grid.
     masks: [2][2][8][4] (0=y, 1=uv; 0=col, 1=row).
@@ -275,13 +275,13 @@ def loopfilter_sb(planes, level, masks, row, col, ss_h, ss_v, lim_lut,
     lv = level.reshape(-1)
     y0, x0 = row * 8, col * 8
     filter_plane_cols(planes[0], y0, x0, col, 0, 0, lv, masks[0][0],
-                      lim_lut, mblim_lut, bpp)
+                      lim_lut, mblim_lut, bpp, apply)
     filter_plane_rows(planes[0], y0, x0, row, 0, 0, lv, masks[0][1],
-                      lim_lut, mblim_lut, bpp)
+                      lim_lut, mblim_lut, bpp, apply)
     uvidx = 1 if (ss_h | ss_v) else 0
     uy0, ux0 = y0 >> ss_v, x0 >> ss_h
     for p in (1, 2):
         filter_plane_cols(planes[p], uy0, ux0, col, ss_h, ss_v, lv,
-                          masks[uvidx][0], lim_lut, mblim_lut, bpp)
+                          masks[uvidx][0], lim_lut, mblim_lut, bpp, apply)
         filter_plane_rows(planes[p], uy0, ux0, row, ss_h, ss_v, lv,
-                          masks[uvidx][1], lim_lut, mblim_lut, bpp)
+                          masks[uvidx][1], lim_lut, mblim_lut, bpp, apply)

@@ -1,0 +1,136 @@
+"""Full sharded-frame pass-B decode vs the serial decoder, bit-exact.
+
+The sharded step (parallel/fullframe.py) reconstructs real frames —
+residual + MC + per-stripe intra + the distributed cross-tile loop
+filter with ICI halo exchange — over a (gop, tile) device mesh; every
+test asserts exact equality with the serial golden decode (itself
+oracle-gated by test_e2e) on the coded pixel area, for every frame of
+the stream, with sharded outputs feeding later frames' references.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from ffmpeg_hybrid_tpu.codecs.vp9.decoder import VP9Decoder
+from ffmpeg_hybrid_tpu.formats.ivf import read_ivf
+from ffmpeg_hybrid_tpu.parallel.fullframe import sharded_decode_pass_b
+
+VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+def _mesh(gop, ntile):
+    devs = np.array(jax.devices()[:gop * ntile]).reshape(gop, ntile)
+    return Mesh(devs, ("gop", "tile"))
+
+
+def _coded_area(frame):
+    w, h = frame.size
+    return ((w + 7) >> 3) * 8, ((h + 7) >> 3) * 8
+
+
+def _assert_frames_equal(serial_frame, planes, ctx=""):
+    cw, ch = _coded_area(serial_frame)
+    for i in range(3):
+        pw = cw if i == 0 else cw >> serial_frame.ss_h
+        ph = ch if i == 0 else ch >> serial_frame.ss_v
+        a = np.asarray(serial_frame.planes[i][:ph, :pw])
+        b = planes[i][:ph, :pw]
+        if not np.array_equal(a, b):
+            bad = np.argwhere(a != b)
+            raise AssertionError(
+                f"{ctx} plane {i}: {len(bad)} mismatches, first at "
+                f"{bad[0]}: {a[tuple(bad[0])]} vs {b[tuple(bad[0])]}")
+
+
+@pytest.mark.parametrize("vec,ntile", [
+    ("mini_inter_tiles2", 2),
+    ("mini_inter_tiles4", 4),
+    ("mini_tiles2x2", 2),     # 2x2 tile rows x cols keyframe stream
+])
+def test_sharded_vs_serial(vec, ntile):
+    path = os.path.join(VEC_DIR, vec + ".ivf")
+    if not os.path.exists(path):
+        pytest.skip("vector corpus not generated")
+    mesh = _mesh(1, ntile)
+    _info, pkts = read_ivf(path)
+    ser = VP9Decoder(recon_backend="golden")
+    shd = VP9Decoder(recon_backend="golden")
+    nf = 0
+    for _pts, data in pkts:
+        job_s = ser.decode_pass_a(data)
+        ser.decode_pass_b(job_s)
+        job = shd.decode_pass_a(data)
+        if job.ready is not None:
+            continue
+        [planes] = sharded_decode_pass_b([job], mesh)
+        # install sharded output as this frame's pixels so later
+        # frames' MC references the sharded chain, not the serial one
+        f = job.cur_frame_obj
+        for i in range(3):
+            f.planes[i][...] = planes[i]
+        _assert_frames_equal(job_s.cur_frame_obj, planes,
+                             f"{vec} frame {nf}")
+        nf += 1
+    assert nf >= 1
+
+
+def test_gop_and_tile_sharded():
+    """2 independent inter frames x 2 tile stripes on 4 devices: the
+    full (gop, tile) mesh decodes both frames' pass B in one sharded
+    step, bit-exact vs serial."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random, encode_inter_flex
+    finally:
+        sys.path.pop(0)
+    w, h = 512, 128
+    k = encode_keyframe_random(w, h, seed=7, filter_level=24,
+                               tile_cols_log2=1)
+    # refresh_mask=0: both inter frames reference only the keyframe ->
+    # their pass B is genuinely independent (GOP sharding)
+    f1 = encode_inter_flex(w, h, seed=8, refresh_mask=0, filter_level=20,
+                           coeffs=True, p_intra=0.2,
+                           mv_mags=(0, 2, 4, 8, 16), tile_cols_log2=1)
+    f2 = encode_inter_flex(w, h, seed=9, refresh_mask=0, filter_level=31,
+                           coeffs=True, p_intra=0.1,
+                           mv_mags=(0, 2, 8, 32), tile_cols_log2=1)
+
+    ser = VP9Decoder(recon_backend="golden")
+    serial_frames = []
+    for data in (k, f1, f2):
+        js = ser.decode_pass_a(data)
+        ser.decode_pass_b(js)
+        serial_frames.append(js.cur_frame_obj)
+
+    shd = VP9Decoder(recon_backend="golden")
+    jk = shd.decode_pass_a(k)
+    [kplanes] = sharded_decode_pass_b([jk], _mesh(1, 2))
+    for i in range(3):
+        jk.cur_frame_obj.planes[i][...] = kplanes[i]
+    _assert_frames_equal(serial_frames[0], kplanes, "gop kf")
+
+    j1 = shd.decode_pass_a(f1)
+    j2 = shd.decode_pass_a(f2)
+    outs = sharded_decode_pass_b([j1, j2], _mesh(2, 2))
+    _assert_frames_equal(serial_frames[1], outs[0], "gop f1")
+    _assert_frames_equal(serial_frames[2], outs[1], "gop f2")
+
+
+def test_sharded_rejects_scaled():
+    path = os.path.join(VEC_DIR, "mini_scaled.ivf")
+    if not os.path.exists(path):
+        pytest.skip("vector corpus not generated")
+    _info, pkts = read_ivf(path)
+    shd = VP9Decoder(recon_backend="golden")
+    mesh = _mesh(1, 1)
+    pkts = list(pkts)
+    jk = shd.decode_pass_a(pkts[0][1])
+    shd.decode_pass_b(jk)
+    j = shd.decode_pass_a(pkts[1][1])
+    with pytest.raises(ValueError, match="scaled"):
+        sharded_decode_pass_b([j], mesh)

@@ -1715,7 +1715,8 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
                       refidx=(0, 0, 0), refresh_mask=0x02, hp=0,
                       filtermode=0, filter_level=0, sharpness=0,
                       coeffs=False, p_intra=0.0, p_skip=0.3,
-                      mv_mags=(0, 2, 4, 8, 16, 64, 256), show=True):
+                      mv_mags=(0, 2, 4, 8, 16, 64, 256), show=True,
+                      tile_cols_log2=0):
     """Visible lossless inter frame with flat per-context probabilities.
 
     Exercises (depending on flags): compound prediction incl. the comp /
@@ -1781,7 +1782,13 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
     while (sb_cols >> mx) >= 4:
         mx += 1
     mx = max(0, mx - 1)
-    if mx > min_log2:
+    lc = max(min_log2, tile_cols_log2)
+    assert lc <= mx or lc == min_log2, "tile_cols beyond max"
+    # increment-bit encoding: 1-bits up to the requested log2, then a
+    # 0 stop bit while below the max (reference: vp9.c:586-591)
+    for _ in range(lc - min_log2):
+        gb.put(1, 1)
+    if lc < mx:
         gb.put(0, 1)
     gb.put(0, 1)            # log2_tile_rows
 
@@ -2009,10 +2016,26 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
         else:
             encode_sb(r, ccol, bl + 1)
 
-    for r in range(0, sb_rows * 8, 8):
-        for ccol in range(0, sb_cols * 8, 8):
-            encode_sb(r, ccol, 0)
-    return _finish(hdr, chdr, t.bytes())
+    # tile walk (flat probabilities mean no left-context to reset;
+    # tiles only change the coder structure + size prefixes)
+    tiles = []
+    for tc in range(1 << lc):
+        c0 = min((tc * sb_cols) >> lc, sb_cols) * 8
+        c1 = min(((tc + 1) * sb_cols) >> lc, sb_cols) * 8
+        if tc:
+            t = BoolEncoder()
+            t.put(0, 128)
+            ce = CoeffEncoder(t, 8)
+        for r in range(0, sb_rows * 8, 8):
+            for ccol in range(c0, c1, 8):
+                encode_sb(r, ccol, 0)
+        tiles.append(t.bytes())
+    data = b""
+    for i, tb in enumerate(tiles):
+        if i < len(tiles) - 1:
+            data += len(tb).to_bytes(4, "big")
+        data += tb
+    return _finish(hdr, chdr, data)
 
 
 def _flex_selftest():
@@ -2119,6 +2142,28 @@ def flex_main():
     f3 = encode_inter_flex(w, h, seed=134, filtermode=1, refresh_mask=0x08,
                            mv_mags=(0, 2, 4, 8, 16, 64))
     emit("mini_filters", w, h, [k, f1, f2, f3])
+
+    # multi-tile-column INTER frames (tile boundaries cut inter blocks,
+    # left-ctx resets per tile, per-tile size prefixes) — also the
+    # substrate for the sharded full-frame decode tests
+    # (parallel/fullframe.py): intra + inter + coeffs + loop filter
+    # across 2 and 4 real tile columns
+    for name, w2, lc2 in (("mini_inter_tiles2", 512, 1),
+                          ("mini_inter_tiles4", 1024, 2)):
+        h2 = 128
+        k = encode_keyframe_random(w2, h2, seed=150 + lc2, yac_qi=60,
+                                   filter_level=24,
+                                   tile_cols_log2=lc2)
+        f1 = encode_inter_flex(w2, h2, seed=151 + lc2, refresh_mask=0x02,
+                               filter_level=20, coeffs=True,
+                               p_intra=0.2, mv_mags=(0, 2, 4, 8, 16),
+                               tile_cols_log2=lc2)
+        f2 = encode_inter_flex(w2, h2, seed=152 + lc2, refidx=(0, 1, 0),
+                               refresh_mask=0x04, filter_level=35,
+                               coeffs=True, p_intra=0.1,
+                               mv_mags=(0, 2, 4, 8, 64),
+                               tile_cols_log2=lc2)
+        emit(name, w2, h2, [k, f1, f2])
 
     # compound prediction against scaled references: refs are 96x96, the
     # compound frame is 128x128 -> scaled-MC avg path
