@@ -48,6 +48,23 @@ def plane_digest_dev(plane, ph, pw):
     return int(d1), int(d2)
 
 
+def plane_digest_dev_async(plane, ph, pw):
+    """Device-resident (d1, d2) WITHOUT reading them back. Even 4-byte
+    scalar reads stall for minutes in bad tunnel weather and degrade
+    the link; callers accumulate these and flush ONE stacked transfer
+    at the end (digests_to_host)."""
+    return _digest_jit(plane, ph, pw)
+
+
+def digests_to_host(pairs):
+    """One d2h for a whole batch of async digest pairs."""
+    import jax.numpy as jnp
+    if not pairs:
+        return np.zeros((0, 2), np.uint32)
+    stacked = jnp.stack([jnp.stack(p) for p in pairs])
+    return np.asarray(stacked)
+
+
 def _make_digest():
     import jax
     import jax.numpy as jnp
