@@ -23,6 +23,7 @@ the conformance vectors with recon_backend='tpu').
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -1326,6 +1327,17 @@ def recon_frame(s):
     if has_inter_frame:
         has_inter_frame = bool((s.block_records[:, 6] == 0).any()) \
             if s.block_records is not None else bool(s.inter4.any())
+    # static MC config: the MXU one-hot kernel on real TPUs (the XLA
+    # gather path costs 113 ms/plane there), and skip the second
+    # reference pass when pass A saw no compound blocks
+    mc_impl = os.environ.get("FFH_MC")
+    if mc_impl is None:
+        mc_impl = ("mxu" if jax.devices()[0].platform != "cpu"
+                   else "gather")
+    if s.block_records is not None:
+        has_comp = bool((s.block_records[:, 14] != 0).any())
+    else:
+        has_comp = bool(s.comp4.any())
     has_scaled = has_inter_frame and any(
         sc[0] for sc in getattr(s, "mvscale", [[0, 0]] * 3))
     if has_scaled:
@@ -1464,7 +1476,8 @@ def recon_frame(s):
                         coef_dev, eob_dev, inter4_p, txsz4_p, txtype4_p,
                         comp4_p, filt4_p, refsel_p, mv16_p,
                         refplanes[0], refplanes[1], refplanes[2], w, hh,
-                        bool(h.lossless), bpp, mvsx, mvsy)
+                        bool(h.lossless), bpp, mvsx, mvsy,
+                        has_comp=has_comp, mc_impl=mc_impl)
         else:
             with metrics.timer("recon.residual_enqueue"):
                 plane_dev, residual = _recon_plane_intra_only(
@@ -1545,13 +1558,19 @@ def recon_frame(s):
 
 
 @partial(jax.jit, static_argnames=("w", "hh", "lossless",
-                                   "bpp", "mvsx", "mvsy"))
+                                   "bpp", "mvsx", "mvsy", "has_comp",
+                                   "mc_impl"))
 def _recon_plane_inter(coef, eob4, inter4, txsz4, txtype4, comp, filt,
                        refsel, mv16, ref0, ref1, ref2, w, hh, lossless,
-                       bpp, mvsx=2, mvsy=2):
+                       bpp, mvsx=2, mvsy=2, has_comp=True,
+                       mc_impl="gather"):
     """Fused inter pass: residual transforms + per-cell MC + apply.
     All per-cell metadata arrives as device grids (rebuilt from block
-    records by _grids_from_records); coef/eob are device-scattered."""
+    records by _grids_from_records); coef/eob are device-scattered.
+    mc_impl="mxu" routes MC through the one-hot-matmul kernel
+    (ops/mc_mxu.py, ~4x the gather path on TPU); has_comp=False skips
+    the second reference pass entirely (statically known when pass A
+    saw no compound blocks)."""
     H, W = coef.shape
     comp = comp.astype(bool)
     inter4 = inter4.astype(bool)
@@ -1566,8 +1585,16 @@ def _recon_plane_inter(coef, eob4, inter4, txsz4, txtype4, comp, filt,
                 coef, eob4, txsz4, txtype4, tx, False, bpp, *coef.shape)
     residual = residual.astype(jnp.int32)
     refstack = jnp.stack([ref0, ref1, ref2], axis=0)
-    mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w, hh, bpp,
-                   mvsx, mvsy)
+    if not has_comp:
+        comp = jnp.zeros_like(comp)
+    if mc_impl == "mxu":
+        from . import mc_mxu
+        mc = mc_mxu.mc_cells(refstack, mv16, refsel, comp, filt,
+                             inter4, w, hh, bpp, mvsx, mvsy,
+                             has_comp=has_comp)
+    else:
+        mc = _mc_cells(refstack, mv16, refsel, comp, filt, inter4, w,
+                       hh, bpp, mvsx, mvsy)
     maxp = (1 << bpp) - 1
     mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]], 0, maxp)
     mask = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)
