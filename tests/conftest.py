@@ -27,6 +27,19 @@ jax.config.update("jax_compilation_cache_dir",
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full suite compiles ~500 executables; with that many live in
+    one process, a later persistent-cache load segfaults inside jax's
+    executable deserialization (deterministic at test 495 before this).
+    Dropping the in-memory executable cache between modules keeps the
+    live-executable count bounded; compiled modules reload from the
+    persistent on-disk cache cheaply."""
+    yield
+    jax.clear_caches()
+
+
 ORACLE_LIB = os.path.join(os.path.dirname(__file__), "..", ".oracle",
                           "libref_harness.so")
 
