@@ -47,7 +47,11 @@ MINI = ["mini_gray_64", "mini_gray_130x70", "mini_gray10_128x72",
         "mini_comp_scaled",
         # sharpness 1-7 (lim-LUT rebuild) and tile rows/cols
         "mini_sharp5_130x70", "mini_sharp7_96x64", "mini_sharpvar",
-        "mini_tiles2x2", "mini_tilerows4"]
+        "mini_tiles2x2", "mini_tilerows4",
+        # segmentation FEATURES: per-segment Q/LF (delta + absolute),
+        # skip, forced-REF (incl. compound interplay), lf_delta updates
+        "mini_segq_130x70", "mini_segabs_96x64", "mini_lfdelta_130x70",
+        "mini_segref", "mini_segref_comp"]
 
 
 @pytest.mark.parametrize("name", INTRA)

@@ -247,14 +247,80 @@ class CoeffEncoder:
 SEG_TREE_PROBS = [128] * 7
 
 
+def _put_sbits_inv(gb, val, nbits):
+    """get_sbits_inv inverse: nbits magnitude then sign bit (1 = neg)."""
+    gb.put(abs(val), nbits)
+    gb.put(1 if val < 0 else 0, 1)
+
+
+def _put_lf_deltas(gb, lf_deltas):
+    """Loop-filter delta syntax (vp9.c:688-698). lf_deltas is None
+    (disabled) or (ref_deltas[4], mode_deltas[2]) with None entries
+    meaning 'no update bit' (decoder keeps its current value)."""
+    if lf_deltas is None:
+        gb.put(0, 1)               # lf delta enabled = 0
+        return
+    ref_d, mode_d = lf_deltas
+    gb.put(1, 1)                   # enabled
+    gb.put(1, 1)                   # updated
+    for i in range(4):
+        if ref_d[i] is None:
+            gb.put(0, 1)
+        else:
+            gb.put(1, 1)
+            _put_sbits_inv(gb, ref_d[i], 6)
+    for i in range(2):
+        if mode_d[i] is None:
+            gb.put(0, 1)
+        else:
+            gb.put(1, 1)
+            _put_sbits_inv(gb, mode_d[i], 6)
+
+
+def _put_seg_features(gb, seg_feat, seg_abs):
+    """Segmentation header with per-segment FEATURE data
+    (vp9.c:714-741). seg_feat: 8 tuples (q, lf, ref, skip) where
+    q/lf/ref are None (feature off) or the value; skip is bool.
+    Explicit map, tree probs 128, no temporal prediction."""
+    gb.put(1, 1)                   # enabled
+    gb.put(1, 1)                   # update_map
+    for p in SEG_TREE_PROBS:
+        gb.put(1, 1)
+        gb.put(p, 8)
+    gb.put(0, 1)                   # temporal
+    gb.put(1, 1)                   # update data
+    gb.put(seg_abs, 1)             # absolute values
+    for sid in range(8):
+        q, lf, ref, skip = seg_feat[sid]
+        if q is None:
+            gb.put(0, 1)
+        else:
+            gb.put(1, 1)
+            _put_sbits_inv(gb, q, 8)
+        if lf is None:
+            gb.put(0, 1)
+        else:
+            gb.put(1, 1)
+            _put_sbits_inv(gb, lf, 6)
+        if ref is None:
+            gb.put(0, 1)
+        else:
+            gb.put(1, 1)
+            gb.put(ref, 2)
+        gb.put(1 if skip else 0, 1)
+
+
 def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
                  yac_qi=0, filter_level=0, sharpness=0, tile_cols_log2=0,
-                 tile_rows_log2=0):
+                 tile_rows_log2=0, seg_feat=None, seg_abs=0,
+                 lf_deltas=None):
     """Uncompressed header bits up to (excl.) the compressed header size
     field. Keyframe, or an invisible intra-only frame (refreshing slot
     0). Lossless, no segmentation, single tile. Non-4:2:0 subsampling
     selects profile 1 (8-bit) / 3 (HBD); vp9.c:457-517 colorspace
-    syntax."""
+    syntax. seg_feat/seg_abs: per-segment feature data
+    (_put_seg_features); lf_deltas: ref/mode delta update
+    (_put_lf_deltas)."""
     if ss_h and ss_v:
         profile = 0 if bpp == 8 else 2
     else:
@@ -295,13 +361,15 @@ def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
     # loop filter
     gb.put(filter_level, 6)        # level
     gb.put(sharpness, 3)           # sharpness
-    gb.put(0, 1)                   # lf delta enabled
+    _put_lf_deltas(gb, lf_deltas)
     # quant (yac_qi == 0 with zero deltas -> lossless)
     gb.put(yac_qi, 8)              # yac_qi
     gb.put(0, 1)
     gb.put(0, 1)
     gb.put(0, 1)
-    if seg:
+    if seg_feat is not None:
+        _put_seg_features(gb, seg_feat, seg_abs)
+    elif seg:
         # segmentation: explicit map (tree probs 128), no temporal
         # prediction; segment 1 has the SKIP feature
         gb.put(1, 1)               # enabled
@@ -594,7 +662,8 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
 
 def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
                            filter_level=24, ss_h=1, ss_v=1, sharpness=0,
-                           tile_cols_log2=0, tile_rows_log2=0):
+                           tile_cols_log2=0, tile_rows_log2=0,
+                           seg_feat=None, seg_abs=0, lf_deltas=None):
     """Lossy keyframe with pseudo-random (but fully legal) syntax:
     random partitions, all 10 intra modes, random coefficient tokens at
     every tx size txfmmode allows, random skip flags, and a nonzero
@@ -602,7 +671,15 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
     oracle decodes the same bits — so no forward transform is needed;
     this exercises the decoder's dequant (vp9data.c qlookup), DCT/ADST
     at every size (incl. the int64 high-bit-depth semantics), all intra
-    edge cases, and the loop filter."""
+    edge cases, and the loop filter.
+
+    seg_feat (8 x (q, lf, ref, skip), _put_seg_features syntax) turns
+    on segmentation with FEATURE data: every block emits an explicit
+    seg id; blocks in skip-feature segments omit the skip bit and the
+    coefficients (vp9block.c:144-150) while per-segment alt-Q changes
+    their dequant and alt-LF their filter level (vp9.c:747-792).
+    lf_deltas exercises the lf_delta_update path (vp9.c:688-698;
+    keyframes reset ref deltas to {1,0,-1,-1} first, vp9.c:659-666)."""
     from ffmpeg_hybrid_tpu.codecs.vp9.probs import coef_full
     from ffmpeg_hybrid_tpu.codecs.vp9.blockdec import (
         BAND_COUNTS, MAX_TX_FOR_BL_BP, TileDecoder)
@@ -616,7 +693,8 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
     gbs = _header_bits(w, h, bpp, ss_h=ss_h, ss_v=ss_v, yac_qi=yac_qi,
                        filter_level=filter_level, sharpness=sharpness,
                        tile_cols_log2=tile_cols_log2,
-                       tile_rows_log2=tile_rows_log2)
+                       tile_rows_log2=tile_rows_log2, seg_feat=seg_feat,
+                       seg_abs=seg_abs, lf_deltas=lf_deltas)
     c = BoolEncoder()
     c.put(0, 128)                       # marker
     c.put((txfmmode >> 1) & 1, 128)     # txfmmode (2-bit literal)
@@ -696,9 +774,19 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
         nh = int(T.BWH_TAB[1][bs][1])
         w4 = nw * 2                      # b4 units
         h4 = nh * 2
-        skip = bool(rng.rand() < 0.15)
-        sctx = int(left["skip"][row7]) + int(above_skip[ccol])
-        t.put(1 if skip else 0, int(T.PROBS_SKIP[sctx]))
+        skip_forced = False
+        if seg_feat is not None:
+            # explicit seg id; skip-feature segments omit the skip bit
+            # (vp9block.c:144-150) and code no coefficients
+            sid = int(rng.randint(0, 8))
+            t.put_tree(T.SEGMENTATION_TREE, SEG_TREE_PROBS, sid)
+            skip_forced = bool(seg_feat[sid][3])
+        if skip_forced:
+            skip = True
+        else:
+            skip = bool(rng.rand() < 0.15)
+            sctx = int(left["skip"][row7]) + int(above_skip[ccol])
+            t.put(1 if skip else 0, int(T.PROBS_SKIP[sctx]))
         tx = min(MAX_TX_FOR_BL_BP[bs], txfmmode)
         # y mode (kf tree, above/left mode ctx; >=8x8 path of
         # vp9block.c:217-270)
@@ -1716,7 +1804,8 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
                       filtermode=0, filter_level=0, sharpness=0,
                       coeffs=False, p_intra=0.0, p_skip=0.3,
                       mv_mags=(0, 2, 4, 8, 16, 64, 256), show=True,
-                      tile_cols_log2=0):
+                      tile_cols_log2=0, seg_feat=None, seg_abs=0,
+                      lf_deltas=None):
     """Visible lossless inter frame with flat per-context probabilities.
 
     Exercises (depending on flags): compound prediction incl. the comp /
@@ -1725,7 +1814,16 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
     (vp9dsp.c:32-85 banks), high-precision MVs (vp9mvs.c:236-289 hp bits),
     intra blocks in inter frames, inter coefficients, nonzero loop-filter
     level + sharpness on inter content.
-    """
+
+    seg_feat turns on per-segment FEATURES on an INTER frame: the REF
+    feature forces the block's reference without any comp/single-ref
+    bits (ref_val 0 forces intra with no is_inter bit,
+    vp9block.c:153-156,333-336), the SKIP feature forces skip +
+    ZEROMV with no skip/mode bits (vp9block.c:144-150,577-583), and
+    alt-LF x lf_deltas exercises the per-(segment, ref, mode) lflvl
+    LUT on inter content (vp9.c:769-786). Sub-8x8 partitions stay out
+    of skip segments (the reference only forces ZEROMV on the >=8x8
+    path)."""
     from ffmpeg_hybrid_tpu.codecs.vp9.probs import Probs, coef_full
 
     rng = np.random.RandomState(seed)
@@ -1768,12 +1866,15 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
     gb.put(0, 2)            # frame_context_idx
     gb.put(filter_level, 6)
     gb.put(sharpness, 3)
-    gb.put(0, 1)            # lf delta
+    _put_lf_deltas(gb, lf_deltas)
     gb.put(0, 8)            # yac_qi = 0 (lossless)
     gb.put(0, 1)
     gb.put(0, 1)
     gb.put(0, 1)
-    gb.put(0, 1)            # segmentation off
+    if seg_feat is not None:
+        _put_seg_features(gb, seg_feat, seg_abs)
+    else:
+        gb.put(0, 1)        # segmentation off
     sb_cols = (w + 63) >> 6
     min_log2 = 0
     while sb_cols > (64 << min_log2):
@@ -1892,10 +1993,30 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
 
     def encode_block(r, ccol, bl, bp):
         bs = bl * 3 + bp
-        skip = bool(rng.rand() < p_skip) if coeffs else True
-        t.put(1 if skip else 0, 128)            # skip (flat)
-        intra = bool(rng.rand() < p_intra)
-        t.put(0 if intra else 1, 128)           # is_inter (flat)
+        sid = 0
+        seg_skip = seg_ref = False
+        if seg_feat is not None:
+            # sub-8x8 stays out of skip segments: the reference only
+            # forces ZEROMV on the >=8x8 path (vp9block.c:577-583)
+            while True:
+                sid = int(rng.randint(0, 8))
+                if not (bs > 9 and seg_feat[sid][3]):
+                    break
+            t.put_tree(T.SEGMENTATION_TREE, SEG_TREE_PROBS, sid)
+            seg_skip = bool(seg_feat[sid][3])
+            seg_ref = seg_feat[sid][2] is not None
+        if seg_skip:
+            skip = True                         # no skip bit read
+        else:
+            skip = bool(rng.rand() < p_skip) if coeffs else True
+            t.put(1 if skip else 0, 128)        # skip (flat)
+        if seg_ref:
+            # REF feature: intra iff ref_val==0, NO is_inter bit
+            # (vp9block.c:153-156)
+            intra = seg_feat[sid][2] == 0
+        else:
+            intra = bool(rng.rand() < p_intra)
+            t.put(0 if intra else 1, 128)       # is_inter (flat)
         # lossless -> no tx size bits
         modes = [2, 2, 2, 2]
         if intra:
@@ -1928,22 +2049,31 @@ def encode_inter_flex(w, h, seed=0, comppredmode=0, signbias=(0, 0, 0),
         else:
             # --- refs (flat comp/comp_ref/single_ref) ---
             comp = 0
-            if comppredmode == 2:
-                comp = int(rng.rand() < 0.5)
-                t.put(comp, 128)
-            elif comppredmode == 1:
-                comp = 1
-            if comp:
-                t.put(int(rng.rand() < 0.5), 128)   # comp_ref bit
+            if seg_ref:
+                # forced ref: comp=0, ref=ref_val-1, NO ref bits
+                # (vp9block.c:333-336)
+                pass
             else:
-                bit0 = int(rng.rand() < 0.5)
-                t.put(bit0, 128)                    # single_ref bit 0
-                if bit0:
-                    t.put(int(rng.rand() < 0.5), 128)
+                if comppredmode == 2:
+                    comp = int(rng.rand() < 0.5)
+                    t.put(comp, 128)
+                elif comppredmode == 1:
+                    comp = 1
+                if comp:
+                    t.put(int(rng.rand() < 0.5), 128)   # comp_ref bit
+                else:
+                    bit0 = int(rng.rand() < 0.5)
+                    t.put(bit0, 128)                    # single_ref bit 0
+                    if bit0:
+                        t.put(int(rng.rand() < 0.5), 128)
             n_refs = 2 if comp else 1
             if bs <= 9:
-                mode = put_mode_and_mvs(n_refs)
-                modes = [mode] * 4
+                if seg_skip:
+                    # forced ZEROMV, no mode bits (vp9block.c:577-583)
+                    modes = [ZEROMV] * 4
+                else:
+                    mode = put_mode_and_mvs(n_refs)
+                    modes = [mode] * 4
             if filt_switch:
                 t.put_tree(T.FILTER_TREE, FLAT2[:2], int(rng.randint(0, 3)))
             if bs > 9:
@@ -2175,6 +2305,101 @@ def flex_main():
                            signbias=(0, 0, 1), refidx=(0, 1, 0),
                            refresh_mask=0x04, mv_mags=(0, 2, 8, 32))
     emit("mini_comp_scaled", 128, 128, [k, f1, f2])
+
+    # ---- segmentation FEATURE vectors (q / lf / ref / skip) ----
+    # per-segment Q and LF deltas + skip on a lossy keyframe: exercises
+    # the per-segment qmul tables and the seg-lflvl LUT (vp9.c:747-792)
+    segf_kf = [
+        (None, None, None, False),     # 0: plain
+        (40,   None, None, False),     # 1: alt-Q up
+        (-30,  None, None, False),     # 2: alt-Q down
+        (None, 20,   None, False),     # 3: alt-LF up
+        (10,   -20,  None, False),     # 4: both
+        (None, None, None, True),      # 5: skip
+        (80,   -24,  None, False),     # 6
+        (-50,  39,   None, False),     # 7: clamp territory
+    ]
+    w, h = 130, 70
+    pkt = encode_keyframe_random(w, h, 8, seed=160, yac_qi=60,
+                                 filter_level=24, seg_feat=segf_kf)
+    emit("mini_segq_130x70", w, h, [pkt])
+
+    # absolute-values mode (vp9.c:748-752 absolute branch)
+    segf_abs = [
+        (None, None, None, False),
+        (120,  None, None, False),     # abs Q
+        (None, 5,    None, False),     # abs LF
+        (30,   60,   None, False),
+        (None, None, None, True),
+        (200,  None, None, False),
+        (None, 63,   None, False),
+        (2,    1,    None, False),
+    ]
+    pkt = encode_keyframe_random(96, 64, 8, seed=161, yac_qi=90,
+                                 filter_level=40, seg_feat=segf_abs,
+                                 seg_abs=1)
+    emit("mini_segabs_96x64", 96, 64, [pkt])
+
+    # custom lf_delta updates on a keyframe (delta LUT rebuild with
+    # non-default intra/ref deltas, vp9.c:688-698 + 769-786)
+    pkt = encode_keyframe_random(130, 70, 8, seed=162, yac_qi=70,
+                                 filter_level=32,
+                                 lf_deltas=([-8, None, 6, -6], [4, -4]))
+    emit("mini_lfdelta_130x70", 130, 70, [pkt])
+
+    # seg REF feature on inter frames: segments force intra (ref 0) /
+    # last (1) / golden (2) / altref (3) with no ref bits; skip-feature
+    # segment forces ZEROMV; alt-LF + lf_deltas makes the forced ref
+    # VISIBLE in the loop filter via the (seg, ref, mode) lflvl LUT
+    segf_ref = [
+        (None, None, None, False),     # 0: plain inter
+        (None, None, 1,    False),     # 1: force LAST
+        (None, None, 2,    False),     # 2: force GOLDEN
+        (None, None, 3,    False),     # 3: force ALTREF
+        (None, None, 0,    False),     # 4: force INTRA
+        (None, None, None, True),      # 5: skip (ZEROMV)
+        (None, 15,   1,    False),     # 6: alt-LF x forced ref
+        (None, -18,  None, False),     # 7: alt-LF
+    ]
+    w, h = 96, 96
+    k = kf(w, h, 163)
+    f1 = encode_inter_flex(w, h, seed=164, refresh_mask=0x02,
+                           mv_mags=(0, 2, 4, 8))
+    f2 = encode_inter_flex(w, h, seed=165, refidx=(0, 1, 0),
+                           refresh_mask=0x04, filter_level=30,
+                           coeffs=True, p_intra=0.15,
+                           mv_mags=(0, 2, 4, 16), seg_feat=segf_ref,
+                           lf_deltas=([2, -3, 5, -5], [3, -2]))
+    f3 = encode_inter_flex(w, h, seed=166, refidx=(1, 2, 0),
+                           refresh_mask=0x08, filter_level=18,
+                           coeffs=True, seg_feat=segf_ref,
+                           mv_mags=(0, 2, 8))
+    emit("mini_segref", w, h, [k, f1, f2, f3])
+
+    # seg REF feature interplay with COMPOUND mode selection: frames
+    # with comppredmode switchable where forced-ref segments skip the
+    # comp flag entirely (vp9block.c:333-336 bypasses the whole
+    # comp/single derivation)
+    segf_refc = [
+        (None, None, None, False),
+        (None, None, 1,    False),
+        (None, None, 3,    False),
+        (None, None, None, False),
+        (None, None, 0,    False),
+        (None, None, None, True),
+        (None, None, 2,    False),
+        (None, None, None, False),
+    ]
+    w, h = 96, 96
+    k = kf(w, h, 167)
+    f1 = encode_inter_flex(w, h, seed=168, refresh_mask=0x02,
+                           mv_mags=(0, 2, 4, 8))
+    f2 = encode_inter_flex(w, h, seed=169, comppredmode=2,
+                           signbias=(0, 0, 1), refidx=(0, 1, 0),
+                           refresh_mask=0x04, filter_level=26,
+                           coeffs=True, seg_feat=segf_refc,
+                           mv_mags=(0, 2, 4, 32))
+    emit("mini_segref_comp", w, h, [k, f1, f2])
 
 
 if __name__ == "__main__":
