@@ -158,6 +158,28 @@ def lf_dense(planes, vpar, hpar, sb_rows, sb_cols, sbwx, sbwy, bpp):
     return pad[:, 8:8 + Hp, 8:8 + Wp]
 
 
+@partial(jax.jit, static_argnames=("Hp", "Wp"))
+def dense_from_steps(steps, Hp, Wp):
+    """Splat a packed wavefront schedule [S, D, 7] (py, px, dir, wd, E,
+    I, H) into the dense V/H parameter grids ON DEVICE. The packed
+    steps are already shipped for the scan path, so the dense LF costs
+    zero extra h2d bytes; the splat is a single ~S*D-row scatter (each
+    edge position is filtered exactly once, so it is collision-free)."""
+    r = steps.reshape(-1, 7)
+    py, px, dr, wd = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    par = r[:, 3:7]
+    big = jnp.int32(1 << 20)
+    okv = (wd > 0) & (dr == 0)
+    okh = (wd > 0) & (dr == 1)
+    V = jnp.zeros((Hp // 8, Wp // 4, 4), jnp.int32)
+    Hg = jnp.zeros((Hp // 4, Wp // 8, 4), jnp.int32)
+    V = V.at[jnp.where(okv, py >> 3, big),
+             jnp.where(okv, px >> 2, big)].set(par, mode="drop")
+    Hg = Hg.at[jnp.where(okh, py >> 2, big),
+               jnp.where(okh, px >> 3, big)].set(par, mode="drop")
+    return V, Hg
+
+
 def loopfilter_frame_dense(s, planes_dev):
     """Device LF for one frame's [y, u, v] device planes using the
     recorded edge stream (native or Python recorder). Returns the

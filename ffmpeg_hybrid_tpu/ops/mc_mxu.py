@@ -71,18 +71,24 @@ def _sel_taps(filt, phase, dt, mxu=False):
 
 
 def mc_cells_mxu_plane(refstack, mv16, refsel, comp, filt, inter_mask,
-                       w, h, bpp, mvsx=1, mvsy=1, has_comp=True):
+                       w, h, bpp, mvsx=1, mvsy=1, has_comp=True,
+                       force_bf16=None):
     """One-hot-matmul MC. Returns ([r4*4, c4*4] int32 plane,
-    bad [r4, c4] bool — cells whose MV left the window)."""
+    bad [r4, c4] bool — cells whose MV left the window).
+    force_bf16: override the platform-derived bf16 choice so the
+    production bf16 path can be exercised off-chip by tests (on CPU
+    XLA computes bf16 dots at >= f32 internal precision, so the
+    integers-in-bf16 exactness argument holds there too)."""
     mv16 = mv16.astype(jnp.int32)
     refsel = refsel.astype(jnp.int32)
     filt = filt.astype(jnp.int32)
     r4, c4 = mv16.shape[:2]
     Hp, Wp = refstack.shape[1:]
     maxp = (1 << bpp) - 1
-    # 8-bit pixels are exact in bf16; the CPU backend (tests) lacks
-    # bf16 dot support, so bf16 rides only the real MXU
-    exact_bf16 = bpp == 8 and jax.devices()[0].platform != "cpu"
+    # 8-bit pixels are exact in bf16; bf16 rides the real MXU by
+    # default (CPU runs the f32 split path in production)
+    exact_bf16 = (bpp == 8 and jax.devices()[0].platform != "cpu") \
+        if force_bf16 is None else (force_bf16 and bpp == 8)
     sel_dt = jnp.bfloat16 if exact_bf16 else jnp.float32
     prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
 

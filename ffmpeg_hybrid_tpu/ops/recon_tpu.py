@@ -1239,6 +1239,33 @@ def _slice_flat(fdev, spec, name):
     return v
 
 
+@partial(jax.jit, static_argnames=("spec_t",))
+def _slice_all_jit(fdev, spec_t):
+    """Slice every upload view out of the flat buffer in ONE device
+    dispatch. Eager per-array slicing costs ~0.8 ms of dispatch latency
+    per op through the tunneled runtime (~16 ops = 13 ms/frame on the
+    upload stage, measured); all inputs are shape-bucketed so the
+    static spec keys only a handful of executables."""
+    outs = []
+    for _name, off, shape, kind in spec_t:
+        n = 1
+        for d in shape:
+            n *= d
+        v = jax.lax.slice(fdev, (off,), (off + n,)).reshape(shape)
+        if kind == "i32":
+            v = v.reshape(shape[:-1] + (shape[-1] // 2, 2))
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        outs.append(v)
+    return tuple(outs)
+
+
+def _slice_all(fdev, spec):
+    spec_t = tuple((name, ent[0], ent[1], ent[2])
+                   for name, ent in spec.items())
+    outs = _slice_all_jit(fdev, spec_t)
+    return dict(zip((e[0] for e in spec_t), outs))
+
+
 def upload_job(s):
     """Start every h2d transfer of the frame's pass-B inputs. Pure data
     movement (no dependency on the previous frame's results), so the
@@ -1258,14 +1285,14 @@ def upload_job(s):
         with metrics.timer("upload.flat"):
             fdev = jnp.asarray(buf)
         with metrics.timer("upload.slice"):
-            dev["recs"] = _slice_flat(fdev, spec, "recs")
-            dev["cp"] = _slice_flat(fdev, spec, "cp")
-            dev["ep"] = _slice_flat(fdev, spec, "ep")
-            dev["slabs"] = [_slice_flat(fdev, spec, "slab0"),
-                            _slice_flat(fdev, spec, "slab1")]
+            views = _slice_all(fdev, spec)
+            dev["recs"] = views.get("recs")
+            dev["cp"] = views.get("cp")
+            dev["ep"] = views.get("ep")
+            dev["slabs"] = [views.get("slab0"), views.get("slab1")]
             if pre.get("lf") is not None:
-                dev["lfy"] = _slice_flat(fdev, spec, "lfy")
-                dev["lfuv"] = _slice_flat(fdev, spec, "lfuv")
+                dev["lfy"] = views.get("lfy")
+                dev["lfuv"] = views.get("lfuv")
         pre["dev"] = dev
         return
     with metrics.timer("upload.recs"):
@@ -1330,7 +1357,8 @@ def recon_frame(s):
     # static MC config: the MXU one-hot kernel on real TPUs (the XLA
     # gather path costs 113 ms/plane there), and skip the second
     # reference pass when pass A saw no compound blocks
-    mc_impl = os.environ.get("FFH_MC")
+    from ..utils.config import get_config
+    mc_impl = get_config().mc_impl
     if mc_impl is None:
         mc_impl = ("mxu" if jax.devices()[0].platform != "cpu"
                    else "gather")
@@ -1523,20 +1551,49 @@ def recon_frame(s):
                     ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
                     uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv,
                                                     s.sb_cols)
+            # lf impl: the dense slice-wavefront kernel replaces the
+            # per-record gather scan on real TPUs (gathers run at
+            # scalar-loop rate there; dense measured faster on-chip) —
+            # both consume the same uploaded packed schedule
+            from ..utils.config import get_config
+            lf_impl = get_config().lf_impl
+            if lf_impl is None:
+                lf_impl = ("dense"
+                           if jax.devices()[0].platform != "cpu"
+                           else "scan")
             with metrics.timer("recon.lf_enqueue"):
                 if ny:
                     lfy = dev.get("lfy")
                     if lfy is None:
                         lfy = jnp.asarray(ysteps)
-                    y = lpf_tpu._lf_scan(outs[0][None], lfy, bpp)[0]
+                    if lf_impl == "dense":
+                        from . import lpf_dense
+                        Hy_, Wy_ = outs[0].shape
+                        Vy, Hgy = lpf_dense.dense_from_steps(
+                            lfy, Hy_, Wy_)
+                        y = lpf_dense.lf_dense(
+                            outs[0][None], Vy, Hgy, s.sb_rows,
+                            s.sb_cols, 64, 64, bpp)[0]
+                    else:
+                        y = lpf_tpu._lf_scan(outs[0][None], lfy,
+                                             bpp)[0]
                 else:
                     y = outs[0]
                 if nuv:
                     lfuv = dev.get("lfuv")
                     if lfuv is None:
                         lfuv = jnp.asarray(uvsteps)
-                    uv = lpf_tpu._lf_scan(jnp.stack([outs[1], outs[2]]),
-                                          lfuv, bpp)
+                    uvst = jnp.stack([outs[1], outs[2]])
+                    if lf_impl == "dense":
+                        from . import lpf_dense
+                        Hu_, Wu_ = outs[1].shape
+                        Vu, Hgu = lpf_dense.dense_from_steps(
+                            lfuv, Hu_, Wu_)
+                        uv = lpf_dense.lf_dense(
+                            uvst, Vu, Hgu, s.sb_rows, s.sb_cols,
+                            64 >> h.ss_h, 64 >> h.ss_v, bpp)
+                    else:
+                        uv = lpf_tpu._lf_scan(uvst, lfuv, bpp)
                     u, v = uv[0], uv[1]
                 else:
                     u, v = outs[1], outs[2]

@@ -17,7 +17,8 @@ from contextlib import contextmanager
 
 class Collector:
     def __init__(self):
-        self.enabled = os.environ.get("VP9_METRICS", "") not in ("", "0")
+        from .config import get_config
+        self.enabled = get_config().metrics
         self._totals = defaultdict(float)
         self._counts = defaultdict(int)
         self._values = defaultdict(int)

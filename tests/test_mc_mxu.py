@@ -54,6 +54,36 @@ def test_mxu_matches_gather(case):
         f"{len(bad_d)} mismatches, first {bad_d[:3]}"
 
 
+@pytest.mark.parametrize("case", [
+    (16, 16, 64, 64, 64, 64, 16),
+    (24, 32, 96, 128, 98, 90, 40),
+    (32, 48, 128, 192, 192, 128, 63),
+])
+def test_bf16_path_matches_gather_on_cpu(case):
+    """The production 8-bit TPU path (force_bf16=True: one-hot bf16
+    matmuls + MXU tap selection) exercised off-chip. CPU XLA computes
+    bf16 dots at f32-or-better internal precision, so the
+    integers-in-bf16 exactness argument must hold here exactly as on
+    the MXU; this covers the mask/HF construction of the exact path
+    that the default CPU run never takes (mc_mxu.py force_bf16)."""
+    r4, c4, H, W, w, h, mvr = case
+    refstack, mv16, refsel, comp, filt, inter4 = _mk(
+        r4, c4, H, W, seed=100 + r4, mvr=mvr, bpp=8)
+    ref = np.asarray(recon_tpu._mc_cells(
+        refstack, mv16, refsel, comp, filt, inter4, w, h, 8, 2, 2))
+    got, bad = mc_mxu.mc_cells_mxu_plane(
+        refstack, mv16, refsel, comp, filt, inter4, w, h, 8, 2, 2,
+        force_bf16=True)
+    got, overflow = mc_mxu.mc_cells_fixup(
+        got, bad, refstack, mv16, refsel, comp, filt, w, h, 8, 2, 2)
+    assert not bool(overflow)
+    m = np.repeat(np.repeat(np.asarray(inter4), 4, 0), 4, 1)
+    ref4 = ref[:r4 * 4, :c4 * 4]
+    bad_d = np.argwhere((ref4 != np.asarray(got)) & m)
+    assert len(bad_d) == 0, \
+        f"{len(bad_d)} mismatches, first {bad_d[:3]}"
+
+
 def test_fixup_path_exercised():
     """MVs beyond the window must be flagged and fixed up exactly."""
     r4 = c4 = 64

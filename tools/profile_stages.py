@@ -37,13 +37,16 @@ def main():
     for pts, data in pkts:
         packets.extend(fd for _, fd in split_superframe(data, pts))
 
-    # warmup: one full pass so every executable is compiled+loaded
+    # warmup: one full PIPELINED pass so every executable is
+    # compiled+loaded — the upload stage's fused-slicer executables
+    # only exist on the pipelined path (serial decode uploads inline),
+    # so a serial warmup would leave them to compile inside the timed
+    # window
     dec = VP9Decoder(recon_backend="tpu")
-    for fd in packets:
-        dec.decode(fd)
-    if dec.cur_frame_obj is not None and dec.cur_frame_obj.dev is not None:
-        for p in dec.cur_frame_obj.dev:
-            jax.block_until_ready(p)
+    for f in dec.decode_stream(iter(packets)):
+        if f.dev is not None:
+            for p in f.dev:
+                jax.block_until_ready(p)
 
     metrics.reset()
     metrics.enable()
@@ -67,6 +70,20 @@ def main():
     print(metrics.summary())
     print(f"\nframes={n} wall={dt:.2f}s fps={n / dt:.1f} "
           f"drain={t_drain:.2f}s ({t_drain / n * 1000:.2f} ms/frame)")
+
+    out = os.environ.get("PROFILE_OUT")
+    if out:
+        import json
+        doc = {"vec": name, "loops": loops, "frames": n,
+               "wall_s": round(dt, 3), "fps": round(n / dt, 2),
+               "drain_ms_per_frame": round(t_drain / n * 1000, 3),
+               "stages_ms_per_call": {
+                   k: v["mean_ms"]
+                   for k, v in metrics.report().items()
+                   if isinstance(v, dict) and "mean_ms" in v}}
+        with open(out, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"written: {out}")
 
 
 if __name__ == "__main__":
