@@ -76,6 +76,10 @@ def main(argv=None):
                     help="pure-Python pass A (no C fast path)")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="decode serially instead of the 4-stage pipeline")
+    ap.add_argument("--bsf", default=None,
+                    help="bitstream filter chain, e.g. "
+                         "vp9_superframe_split,vp9_raw_reorder or "
+                         "vp9_metadata=color_space=bt709:color_range=pc")
     ap.add_argument("--frames", type=int, default=0,
                     help="stop after N output frames")
     ap.add_argument("-v", "--verbose", action="store_true",
@@ -87,6 +91,9 @@ def main(argv=None):
     dec = VP9Decoder(recon_backend=args.backend,
                      use_native=not args.no_native)
     _info, pkts = _open_packets(args.input)
+    if args.bsf:
+        from .formats.bsf import apply_bsf_chain
+        pkts = apply_bsf_chain(pkts, args.bsf)
 
     binary = args.format in ("y4m", "rawvideo")
     if args.output == "-":

@@ -102,6 +102,7 @@ class Header:
     width: int = 0
     height: int = 0
     uncompressed_header_size: int = 0
+    uncompressed_header_bits: int = 0  # exact, pre-padding (BSF splice)
     compressed_header_size: int = 0
     # show-existing-frame short path
     show_existing_idx: int = -1
@@ -380,6 +381,7 @@ def parse_uncompressed_header(data: bytes, state) -> Header:
     h.tile_rows = 1 << h.log2_tile_rows
 
     h.compressed_header_size = gb.get(16)
+    h.uncompressed_header_bits = gb.bits_consumed()
     h.uncompressed_header_size = (gb.bits_consumed() + 7) // 8
     if h.compressed_header_size > len(data) - h.uncompressed_header_size:
         raise ValueError("Invalid compressed header size")
