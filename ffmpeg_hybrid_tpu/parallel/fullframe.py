@@ -97,8 +97,12 @@ def record_lf(s):
         try:
             from ..passa_native import lpf_record_native
             return lpf_record_native(s)
-        except OSError:
-            pass
+        except Exception as e:  # any native failure (missing .so,
+            # stale ctypes mirror, ...) falls back to the Python
+            # recorder rather than killing the sharded decode
+            import warnings
+            warnings.warn(f"native LF recorder failed ({e!r}); "
+                          "using Python recorder")
     return record_lf_python(s)
 
 
@@ -440,7 +444,13 @@ def frame_tensors(s):
     t["ysteps"] = ysteps
     t["uvsteps"] = uvsteps
 
-    # reference planes (inter frames): device-pad to a common stack
+    # reference planes (inter frames): device-pad to a common stack.
+    # NOTE: np.asarray(rf.dev[p]) is a full-plane d2h per ref plane —
+    # fine for the CPU virtual-mesh target this path serves, but d2h
+    # through the axon tunnel is 1-40 MB/s and degrades the link for
+    # the rest of the process: do NOT point this path at the tunneled
+    # chip without first keeping refs host-resident (or device-resident
+    # end-to-end on a real multi-chip pod where d2h never happens).
     has_inter = bool(inter4.any()) and not (h.keyframe or h.intraonly)
     refs = []
     if has_inter:

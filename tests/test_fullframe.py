@@ -134,3 +134,105 @@ def test_sharded_rejects_scaled():
     j = shd.decode_pass_a(pkts[1][1])
     with pytest.raises(ValueError, match="scaled"):
         sharded_decode_pass_b([j], mesh)
+
+
+def test_sharded_tall_geometry():
+    """>= 6 SB rows (512x448 = 8x7 SBs): the wavefront loop filter and
+    stripe split at real frame heights, 2 tiles, kf + 2 inter frames
+    chained through the sharded outputs."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random, encode_inter_flex
+    finally:
+        sys.path.pop(0)
+    w, h = 512, 448
+    k = encode_keyframe_random(w, h, seed=21, filter_level=28,
+                               tile_cols_log2=1)
+    f1 = encode_inter_flex(w, h, seed=22, refresh_mask=0x02,
+                           filter_level=22, coeffs=True, p_intra=0.15,
+                           mv_mags=(0, 2, 4, 8, 16), tile_cols_log2=1)
+    f2 = encode_inter_flex(w, h, seed=23, refidx=(1, 0, 0),
+                           refresh_mask=0x04, filter_level=33,
+                           coeffs=True, mv_mags=(0, 2, 8, 64),
+                           tile_cols_log2=1)
+
+    ser = VP9Decoder(recon_backend="golden")
+    shd = VP9Decoder(recon_backend="golden")
+    mesh = _mesh(1, 2)
+    for fi, data in enumerate((k, f1, f2)):
+        js = ser.decode_pass_a(data)
+        ser.decode_pass_b(js)
+        j = shd.decode_pass_a(data)
+        [planes] = sharded_decode_pass_b([j], mesh)
+        f = j.cur_frame_obj
+        for i in range(3):
+            f.planes[i][...] = planes[i]
+        _assert_frames_equal(js.cur_frame_obj, planes,
+                             f"tall frame {fi}")
+
+
+def test_sharded_10bit():
+    """Profile-2 10-bit keyframe through the sharded path (wide
+    coefficients, HBD transforms + loop filter)."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random
+    finally:
+        sys.path.pop(0)
+    w, h = 512, 192
+    k = encode_keyframe_random(w, h, bpp=10, seed=24, filter_level=30,
+                               yac_qi=80, tile_cols_log2=1)
+    ser = VP9Decoder(recon_backend="golden")
+    js = ser.decode_pass_a(k)
+    ser.decode_pass_b(js)
+    shd = VP9Decoder(recon_backend="golden")
+    j = shd.decode_pass_a(k)
+    [planes] = sharded_decode_pass_b([j], _mesh(1, 2))
+    _assert_frames_equal(js.cur_frame_obj, planes, "10bit kf")
+
+
+def test_sharded_4tile_wide():
+    """4 tile columns on a 4K-width frame row (3840x128): the full
+    4-way stripe split + 3 cross-tile halo exchanges."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random, encode_inter_flex
+    finally:
+        sys.path.pop(0)
+    w, h = 3840, 128
+    k = encode_keyframe_random(w, h, seed=25, filter_level=25,
+                               tile_cols_log2=2)
+    f1 = encode_inter_flex(w, h, seed=26, refresh_mask=0x02,
+                           filter_level=19, coeffs=True, p_intra=0.1,
+                           mv_mags=(0, 2, 4, 16), tile_cols_log2=2)
+    ser = VP9Decoder(recon_backend="golden")
+    shd = VP9Decoder(recon_backend="golden")
+    mesh = _mesh(1, 4)
+    for fi, data in enumerate((k, f1)):
+        js = ser.decode_pass_a(data)
+        ser.decode_pass_b(js)
+        j = shd.decode_pass_a(data)
+        [planes] = sharded_decode_pass_b([j], mesh)
+        f = j.cur_frame_obj
+        for i in range(3):
+            f.planes[i][...] = planes[i]
+        _assert_frames_equal(js.cur_frame_obj, planes,
+                             f"4tile frame {fi}")
+
+
+def test_gop_geometry_mismatch_clear_error():
+    """Mixed-geometry jobs on the gop axis must be rejected with a
+    clear error (not a shape crash deep in jit)."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random
+    finally:
+        sys.path.pop(0)
+    ka = encode_keyframe_random(128, 128, seed=27, filter_level=0)
+    kb = encode_keyframe_random(192, 128, seed=28, filter_level=0)
+    da = VP9Decoder(recon_backend="golden")
+    db = VP9Decoder(recon_backend="golden")
+    ja = da.decode_pass_a(ka)
+    jb = db.decode_pass_a(kb)
+    with pytest.raises(ValueError, match="geometry"):
+        sharded_decode_pass_b([ja, jb], _mesh(2, 1))
