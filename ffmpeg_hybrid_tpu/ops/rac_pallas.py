@@ -373,11 +373,15 @@ def _coef_kernel_body(half16, value0, rng0, bitbuf0, nbits0, probs,
     cat6 = _CAT6_PROBS[bpp]
 
     def probs_row(band, ctx, mask):
-        """probs: [S, 36, 11] -> row [S, 11] at band*6+ctx."""
+        """probs: [S, 36, 11] -> row [S, 11] at band*6+ctx.
+        (Mosaic can't minor-dim-expand i1 vectors: keep the one-hot in
+        int32 and select by multiply.)"""
         idx = band * 6 + ctx
         j = jax.lax.broadcasted_iota(jnp.int32, (S, 36), 1)
-        sel = (j == idx[:, None]) & mask.astype(jnp.int32)[:, None] != 0
-        return jnp.sum(jnp.where(sel[:, :, None], probs, 0), axis=1)
+        sel = ((j == idx[:, None])
+               & (mask.astype(jnp.int32)[:, None] != 0))
+        return jnp.sum(probs * sel.astype(jnp.int32)[:, :, None],
+                       axis=1)
 
     def gath(tab, i):
         """tab [S, n] -> column i (i is a traced scalar)."""
@@ -393,7 +397,10 @@ def _coef_kernel_body(half16, value0, rng0, bitbuf0, nbits0, probs,
         rac.unpack(st)
         alive = done == 0
         sc = gath(scan, i)
-        band = band_b[i]
+        # band_b[i] with a traced i lowers to dynamic_slice, which the
+        # Pallas TPU backend can't lower — one-hot reduce instead
+        band = jnp.sum(jnp.where(
+            jax.lax.iota(jnp.int32, band_b.shape[0]) == i, band_b, 0))
         tp = probs_row(jnp.full((S,), band, jnp.int32), ctx, alive)
 
         def tpk(k):
@@ -485,11 +492,14 @@ def _coef_kernel_body(half16, value0, rng0, bitbuf0, nbits0, probs,
         energy = jnp.where(m_34, 3, energy)
         energy = jnp.where(m_c12, 4, energy)
         energy = jnp.where(m_c36, 5, energy)
-        # scatter cache + output at raster position sc
+        # scatter cache + output at raster position sc (expand bool
+        # lane masks via int32 — Mosaic can't minor-dim-expand i1)
         sel = lane_n == sc[:, None]
         proc = is_zero | nonzero
-        cache = jnp.where(sel & proc[:, None], energy[:, None], cache)
-        out = jnp.where(sel & nonzero[:, None], prod[:, None], out)
+        proc2 = proc.astype(jnp.int32)[:, None] != 0
+        nz2 = nonzero.astype(jnp.int32)[:, None] != 0
+        cache = jnp.where(sel & proc2, energy[:, None], cache)
+        out = jnp.where(sel & nz2, prod[:, None], out)
         # next-position context from the token cache via the nb table
         nv0 = cache_at(cache, gath(nb0, i), proc)
         nv1 = cache_at(cache, gath(nb1, i), proc)
