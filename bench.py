@@ -245,10 +245,24 @@ def _timed_clip(packets, budget_s, trials):
     dec2 = VP9Decoder(recon_backend="tpu")
     frames = 0
     t_start = time.time()
-    for i, f in enumerate(dec2.decode_stream(packet_loop())):
-        if f.dev is not None:
-            for p in f.dev:
+    # drain BEHIND by one frame: frame N's completion wait overlaps
+    # frame N+1's dispatch while the backlog stays <= 1 frame (deeper
+    # lag re-hits the transfer-behind-queued-work serialization).
+    # Measured on-chip: serial 194 fps < drain-per-frame 214 < lag-1
+    # 231 < lag-2 193.
+    import collections
+    pend = collections.deque()
+
+    def drain_one():
+        g = pend.popleft()
+        if g.dev is not None:
+            for p in g.dev:
                 jax.block_until_ready(p)
+
+    for i, f in enumerate(dec2.decode_stream(packet_loop())):
+        pend.append(f)
+        if len(pend) > 1:
+            drain_one()
         frames += 1
         if i == 7:  # restart after pipeline warm-up
             t_start = time.time()
