@@ -336,6 +336,26 @@ def main():
         except Exception as e:  # the 4K leg must never kill the bench
             print(f"[bench] 4K leg failed: {e!r}", file=sys.stderr)
 
+    # third leg: the loop-filter-heavy 1080p clip (the committed bench
+    # clips carry filter_level=0 on every frame, so without this leg
+    # the LF kernels never appear in any recorded number)
+    if (name == "bench_1080p" and not cfg.bench_skip_4k
+            and os.path.exists(os.path.join(ROOT, "vectors",
+                                            "bench_1080p_lf.ivf"))
+            and time.time() - t_all < guard_s):
+        try:
+            pkl, _rl = _load_packets("bench_1080p_lf")
+            bel = _verify_subprocess("bench_1080p_lf", 6)
+            fpsl, winl = _timed_clip(pkl, budget_s / 3, trials)
+            print(f"[bench] bench_1080p_lf: median {fpsl:.1f} fps",
+                  file=sys.stderr)
+            extra["fps_1080p_lf"] = round(
+                0.0 if bel is False else fpsl, 3)
+            extra["passes_1080p_lf"] = winl
+            extra["bitexact_1080p_lf"] = bel
+        except Exception as e:
+            print(f"[bench] LF leg failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": ("vp9_decode_4k_fps_per_chip" if name == "bench_4k"
                    else "vp9_decode_1080p_fps_per_chip"),

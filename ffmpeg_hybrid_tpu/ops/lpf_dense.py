@@ -54,10 +54,10 @@ def dense_params(recs, n, Hp, Wp):
 _WLO = {0: 16, 4: 6, 8: 5, 16: 1}
 
 
-def _apply_sub(sub, par, bpp):
+def _apply_sub2(sub, par, bpp):
     """sub: [N, 8, 16] windows (edge between cols 7|8); par: [N, 4]
-    (wd, E, I, H). Returns filtered windows with writes restricted to
-    each wd's modified range (wd==0 rows untouched)."""
+    (wd, E, I, H). Returns (filtered windows with writes restricted to
+    each wd's modified range, the [N, 16] write mask)."""
     wd, E, I, H = (par[:, i] for i in range(4))
     filt = filter_lanes_jnp(sub, E, I, H, wd, bpp)
     r16 = jnp.arange(16)
@@ -65,7 +65,11 @@ def _apply_sub(sub, par, bpp):
     hi = jnp.where(wd >= 16, 15, jnp.where(wd >= 8, 11, 10))
     wmask = ((r16[None, :] >= lo[:, None]) & (r16[None, :] < hi[:, None])
              & (wd > 0)[:, None])
-    return jnp.where(wmask[:, None, :], filt, sub)
+    return jnp.where(wmask[:, None, :], filt, sub), wmask
+
+
+def _apply_sub(sub, par, bpp):
+    return _apply_sub2(sub, par, bpp)[0]
 
 
 @partial(jax.jit, static_argnames=("sb_rows", "sb_cols", "sbwx", "sbwy",
@@ -156,6 +160,172 @@ def lf_dense(planes, vpar, hpar, sb_rows, sb_cols, sbwx, sbwy, bpp):
     pad = jax.lax.fori_loop(
         0, nwaves, lambda w, p: wave(p, w), pad)
     return pad[:, 8:8 + Hp, 8:8 + Wp]
+
+
+@partial(jax.jit, static_argnames=("sb_rows", "sb_cols", "sbwx", "sbwy",
+                                   "bpp"))
+def lf_dense_par(planes, vpar, hpar, sb_rows, sb_cols, sbwx, sbwy, bpp):
+    """8px-grid fast variant: each wave's V phase (then H phase) runs
+    as ONE batched filter call over every 8-aligned edge position,
+    instead of `lf_dense`'s serial position loop.
+
+    EXACT only when no 4px-offset edge is active (the caller checks
+    the recorded stream): 4px-offset edges (4x4-transform interiors)
+    chain serially — edge e writes [e-2, e+1]; edge e+4 reads p3 = e —
+    and must take the serial kernel.
+
+    On the 8px grid each phase runs three ordered batched sub-steps:
+
+      A. wd16 edges with NO active 8px left neighbour;
+      B. wd4/wd8 edges;
+      C. wd16 edges WITH an active 8px left neighbour.
+
+    Independence inside each sub-step: wd4/8 writes reach +-2/3 px and
+    the next edge's reads (decisions AND taps) start >= 4 px past the
+    midpoint, so wd<=8 edges never interact; wd16 edges are 16-aligned
+    (transform blocks align to their size) so two same-class wd16
+    edges are >= 16 px apart and the +-7 px writes don't reach the
+    neighbour's p7 tap. Cross-step order: a wd16 edge's big (>= 16 tx)
+    side has no interior edge, so its only possible active 8-neighbour
+    is on the small side — on the RIGHT for class A (reference order:
+    wd16 first), on the LEFT for class C (neighbour first). A- and
+    C-class edges never interact with each other (>= 16 px apart,
+    writes stop 7 px short). Writes of adjacent overlapping windows
+    are disjoint for the same reasons, so each write-back is two
+    static masked block updates."""
+    B, Hp, Wp = planes.shape
+    n8v = sbwx // 8
+    n8h = sbwy // 8
+    nb_v = sbwy // 8
+    nb_h = sbwx // 8
+    L = sb_rows
+    wx, wy = sbwx + 16, sbwy + 16
+
+    PH = 8 + Hp + 8 + wy
+    PW = 8 + Wp + 8
+    pad = jnp.zeros((B, PH, PW), planes.dtype)
+    pad = pad.at[:, 8:8 + Hp, 8:8 + Wp].set(planes)
+    trash_y = 8 + Hp + 8
+
+    vz = jnp.zeros((nb_v, sbwx // 4, 4), jnp.int32)
+    hz = jnp.zeros((sbwy // 4, nb_h, 4), jnp.int32)
+    nwaves = 2 * (sb_rows - 1) + (sb_cols - 1) + 1
+
+    def wave(pad, w):
+        wins, vps, hps, y0s, x0s = [], [], [], [], []
+        for l in range(L):
+            r = l
+            c = w - 2 * l
+            valid = (c >= 0) & (c < sb_cols)
+            cc = jnp.clip(c, 0, sb_cols - 1)
+            y0 = jnp.where(valid, r * sbwy, trash_y)
+            x0 = cc * sbwx
+            win = jax.lax.dynamic_slice(pad, (0, y0, x0), (B, wy, wx))
+            vp = jax.lax.dynamic_slice(
+                vpar, (r * (sbwy // 8), cc * (sbwx // 4), 0),
+                (nb_v, sbwx // 4, 4))
+            hp = jax.lax.dynamic_slice(
+                hpar, (r * (sbwy // 4), cc * (sbwx // 8), 0),
+                (sbwy // 4, nb_h, 4))
+            vp = jnp.where(valid, vp, vz)
+            hp = jnp.where(valid, hp, hz)
+            wins.append(win)
+            vps.append(vp[:, ::2])     # 8-aligned positions only
+            hps.append(hp[::2])
+            y0s.append(y0)
+            x0s.append(x0)
+        win = jnp.stack(wins)          # [L, B, wy, wx]
+        vp = jnp.stack(vps)            # [L, nb_v, n8v, 4]
+        hp = jnp.stack(hps)            # [L, n8h, nb_h, 4]
+
+        def phase(A, par, npos, nb, span):
+            """A: [L, B, span, width] rows-along-edge layout (V: rows
+            x padded cols; H: cols x padded rows). par: [L, nb, npos,
+            4]. Returns A with every position's edge filtered in one
+            call (disjoint writes)."""
+            width = A.shape[-1]
+            nblk = width // 8
+            Ab = A.reshape(L, B, span, nblk, 8)
+            wl = Ab[..., 0:npos, :]
+            wr = Ab[..., 1:npos + 1, :]
+            w16 = jnp.concatenate([wl, wr], axis=-1)  # [L,B,span,npos,16]
+            sub = w16.reshape(L, B, nb, 8, npos, 16) \
+                .transpose(0, 1, 2, 4, 3, 5)          # [L,B,nb,npos,8,16]
+            par_b = jnp.broadcast_to(par[:, None], (L, B, nb, npos, 4))
+            filt, wm = _apply_sub2(sub.reshape(-1, 8, 16),
+                                   par_b.reshape(-1, 4), bpp)
+            filt = filt.reshape(L, B, nb, npos, 8, 16) \
+                .transpose(0, 1, 2, 4, 3, 5) \
+                .reshape(L, B, span, npos, 16)
+            wm = jnp.broadcast_to(
+                wm.reshape(L, B, nb, npos, 16)[:, :, :, None],
+                (L, B, nb, 8, npos, 16)).reshape(L, B, span, npos, 16)
+            fl, fr = filt[..., :8], filt[..., 8:]
+            mL, mR = wm[..., :8], wm[..., 8:]
+            Ab = Ab.at[..., 0:npos, :].set(
+                jnp.where(mL, fl, Ab[..., 0:npos, :]))
+            Ab = Ab.at[..., 1:npos + 1, :].set(
+                jnp.where(mR, fr, Ab[..., 1:npos + 1, :]))
+            return Ab.reshape(L, B, span, width)
+
+        def split3(par):
+            """par [L, nb, npos, 4] -> the A/B/C sub-step parameter
+            grids (wd zeroed outside each class)."""
+            wd = par[..., 0]
+            act = wd > 0
+            left_act = jnp.concatenate(
+                [jnp.zeros_like(act[..., :1]), act[..., :-1]], axis=-1)
+            m16 = wd >= 16
+            mA = m16 & ~left_act
+            mB = act & ~m16
+            mC = m16 & left_act
+
+            def sel(m):
+                return par.at[..., 0].set(jnp.where(m, wd, 0))
+            return sel(mA), sel(mB), sel(mC)
+
+        def phase3(A, par, npos, nb, span):
+            for p in split3(par):
+                A = phase(A, p, npos, nb, span)
+            return A
+
+        # V phase: along-edge = rows, across = padded cols
+        A = phase3(win[:, :, 8:8 + sbwy, :], vp, n8v, nb_v, sbwy)
+        win = win.at[:, :, 8:8 + sbwy, :].set(A)
+        # H phase: transpose so along-edge = cols, across = padded rows
+        T = jnp.swapaxes(win[:, :, :, 8:8 + sbwx], 2, 3)
+        hp_t = jnp.swapaxes(hp, 1, 2)             # [L, nb_h, n8h, 4]
+        T = phase3(T, hp_t, n8h, nb_h, sbwx)
+        win = win.at[:, :, :, 8:8 + sbwx].set(jnp.swapaxes(T, 2, 3))
+
+        for l in range(L):
+            pad = jax.lax.dynamic_update_slice(
+                pad, win[l], (0, y0s[l], x0s[l]))
+        return pad
+
+    pad = jax.lax.fori_loop(0, nwaves, lambda w, p: wave(p, w), pad)
+    return pad[:, 8:8 + Hp, 8:8 + Wp]
+
+
+def has_offgrid_edges(recs, n):
+    """True when any active recorded edge sits on a 4px offset (the
+    4x4-transform interiors that force the serial position chain).
+    recs: [n, 8] (sb, py, px, dir, wd, E, I, H)."""
+    if n == 0:
+        return False
+    r = recs[:n]
+    v = r[:, 3] == 0
+    off = np.where(v, r[:, 2], r[:, 1]).astype(np.int64) & 4
+    return bool((off != 0).any())
+
+
+def has_offgrid_steps(steps):
+    """Same check on a packed wavefront schedule [S, D, 7]
+    (py, px, dir, wd, E, I, H); wd==0 entries are padding."""
+    r = steps.reshape(-1, 7)
+    act = r[:, 3] > 0
+    off = np.where(r[:, 2] == 0, r[:, 1], r[:, 0]).astype(np.int64) & 4
+    return bool((act & (off != 0)).any())
 
 
 @partial(jax.jit, static_argnames=("Hp", "Wp"))

@@ -53,7 +53,10 @@ def filter_lanes_jnp(win, E, I, H, wd, bpp):
 
     out = x
     # wd16 (15-tap with edge replication): position k (1..14) in the
-    # 16-wide window
+    # 16-wide window. (A prefix-sum reformulation was tried and
+    # REVERTED: fewer ops but a 16-deep serial add chain — measured
+    # lf_scan 60 -> 82 ms on-chip; the naive independent sums
+    # parallelize better at these tiny shapes.)
     seq = [p[7 - i] for i in range(8)] + q  # positions 0..15
     for k in range(1, 15):
         acc = seq[k]  # self counted twice

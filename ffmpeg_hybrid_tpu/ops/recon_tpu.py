@@ -1176,6 +1176,10 @@ def precompute_host(s):
                 ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
                 uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
             pre["lf"] = (ysteps, ny, uvsteps, nuv)
+            from . import lpf_dense as _lpfd
+            pre["lf_par"] = (
+                not _lpfd.has_offgrid_edges(y_rec, ny),
+                not _lpfd.has_offgrid_edges(uv_rec, nuv))
         except OSError:
             pass
     # pack the per-block record table here too (pure host work)
@@ -1571,9 +1575,19 @@ def recon_frame(s):
                         Hy_, Wy_ = outs[0].shape
                         Vy, Hgy = lpf_dense.dense_from_steps(
                             lfy, Hy_, Wy_)
-                        y = lpf_dense.lf_dense(
-                            outs[0][None], Vy, Hgy, s.sb_rows,
-                            s.sb_cols, 64, 64, bpp)[0]
+                        # batched-position kernel when every edge is
+                        # on the 8px grid; 4px-offset edges (4x4-tx
+                        # interiors) chain serially and take the
+                        # serial-position kernel
+                        if pre is not None and "lf_par" in pre:
+                            y_par = pre["lf_par"][0]
+                        else:
+                            y_par = not lpf_dense.has_offgrid_steps(
+                                np.asarray(ysteps))
+                        kern = (lpf_dense.lf_dense_par if y_par
+                                else lpf_dense.lf_dense)
+                        y = kern(outs[0][None], Vy, Hgy, s.sb_rows,
+                                 s.sb_cols, 64, 64, bpp)[0]
                     else:
                         y = lpf_tpu._lf_scan(outs[0][None], lfy,
                                              bpp)[0]
@@ -1589,9 +1603,15 @@ def recon_frame(s):
                         Hu_, Wu_ = outs[1].shape
                         Vu, Hgu = lpf_dense.dense_from_steps(
                             lfuv, Hu_, Wu_)
-                        uv = lpf_dense.lf_dense(
-                            uvst, Vu, Hgu, s.sb_rows, s.sb_cols,
-                            64 >> h.ss_h, 64 >> h.ss_v, bpp)
+                        if pre is not None and "lf_par" in pre:
+                            uv_par = pre["lf_par"][1]
+                        else:
+                            uv_par = not lpf_dense.has_offgrid_steps(
+                                np.asarray(uvsteps))
+                        kern = (lpf_dense.lf_dense_par if uv_par
+                                else lpf_dense.lf_dense)
+                        uv = kern(uvst, Vu, Hgu, s.sb_rows, s.sb_cols,
+                                  64 >> h.ss_h, 64 >> h.ss_v, bpp)
                     else:
                         uv = lpf_tpu._lf_scan(uvst, lfuv, bpp)
                     u, v = uv[0], uv[1]

@@ -29,7 +29,8 @@ INTRA = ["intra_64", "intra_64_noise", "intra_66x66", "intra_98x66",
 INTER = ["inter_64_5f", "inter_66x66_5f", "inter_130x98_8f",
          "inter_176x144_10f", "inter_176x144_noise", "inter_352x288_10f",
          "inter_grad_8f"]
-SPECIAL = ["show_existing", "superframe", "bench_1080p"]
+SPECIAL = ["show_existing", "superframe", "bench_1080p",
+           "bench_1080p_lf"]
 MINI = ["mini_gray_64", "mini_gray_130x70", "mini_gray10_128x72",
         "mini_gray12_64", "mini_lossless_64", "mini_lossless_130x70",
         "mini_lossless10_96x64", "mini_lossless12_64",

@@ -21,7 +21,7 @@ VEC_DIR = os.path.join(os.path.dirname(__file__), "..", "vectors")
 
 ALL = INTRA + INTER + MINI + [
     n for n in SPECIAL
-    if n != "bench_1080p" or os.environ.get("FULL_TPU_E2E")]
+    if not n.startswith("bench_") or os.environ.get("FULL_TPU_E2E")]
 
 
 @pytest.mark.parametrize("name", ALL)

@@ -205,10 +205,23 @@ def bench_lf_dense(rows, bpp, reps):
     ms, ts = _chain_ms(step, plane, lambda y: y[0, 0, 0], reps)
     nrec = int(vocc.sum() + hocc.sum())
     byt = nrec * 8 * 16 * 4 * 2
-    return {"kernel": "lf_dense", "shape": f"{H}x{W}",
+    out = [{"kernel": "lf_dense", "shape": f"{H}x{W}",
             "bpp": bpp, "ms": round(ms, 3),
             "GBps": round(byt / ms / 1e6, 2),
-            "all_ms": [round(t, 3) for t in ts]}
+            "all_ms": [round(t, 3) for t in ts]}]
+
+    # batched-position variant (the population above is 8px-grid only,
+    # its validity domain)
+    def step_par(pl):
+        return lpf_dense.lf_dense_par(pl, Vd, Hd, sb_rows, sb_cols,
+                                      64, 64, bpp)
+
+    ms, ts = _chain_ms(step_par, plane, lambda y: y[0, 0, 0], reps)
+    out.append({"kernel": "lf_dense_par", "shape": f"{H}x{W}",
+                "bpp": bpp, "ms": round(ms, 3),
+                "GBps": round(byt / ms / 1e6, 2),
+                "all_ms": [round(t, 3) for t in ts]})
+    return out
 
 
 def bench_intra(rows, bpp, reps):
@@ -462,7 +475,7 @@ def main():
         if want("lf_scan"):
             results.append(bench_lf(rows, bpp, args.reps))
         if want("lf_dense"):
-            results.append(bench_lf_dense(rows, bpp, args.reps))
+            results.extend(bench_lf_dense(rows, bpp, args.reps))
         if want("rac") and (platform != "cpu" or only):
             # real-pallas only by default (interpret mode on CPU is a
             # simulator, not a measurement)
