@@ -108,3 +108,35 @@ def test_superframe_merge_roundtrip():
         iter([(i, d) for i, d in enumerate(orig)]),
         "vp9_superframe_split,vp9_superframe")]
     assert out == orig
+
+
+def test_reorder_rejects_malformed():
+    from ffmpeg_hybrid_tpu.formats.reorder import VP9RawReorder
+    r = VP9RawReorder()
+    with pytest.raises(ValueError, match="marker"):
+        r.send(0, b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="empty"):
+        r.send(0, b"")
+    # superframes must be split first (the C BSF returns ENOSYS)
+    sf = b"\x82\x49\x83\x42" + b"\x00" * 8 + bytes([0xC1, 4, 4, 0xC1])
+    with pytest.raises(ValueError, match="superframe"):
+        r.send(0, sf)
+
+
+def test_metadata_passthrough_non_color_frames():
+    """Inter frames and show-existing packets carry no colour
+    metadata and must pass through byte-identical."""
+    from ffmpeg_hybrid_tpu.formats.metadata import rewrite_color
+    from ffmpeg_hybrid_tpu.formats.ivf import read_ivf
+    from ffmpeg_hybrid_tpu.formats.superframe import split_superframe
+    src = os.path.join(VEC_DIR, "inter_64_5f.ivf")
+    if not os.path.exists(src):
+        pytest.skip("vectors not generated")
+    _info, pkts = read_ivf(src)
+    n_inter = 0
+    for pts, d in pkts:
+        for _p, fd in split_superframe(d, pts):
+            out = rewrite_color(fd, 2, 1)
+            if out == fd:
+                n_inter += 1
+    assert n_inter >= 4  # every non-keyframe unchanged
