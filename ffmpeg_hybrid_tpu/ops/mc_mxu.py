@@ -72,13 +72,17 @@ def _sel_taps(filt, phase, dt, mxu=False):
 
 def mc_cells_mxu_plane(refstack, mv16, refsel, comp, filt, inter_mask,
                        w, h, bpp, mvsx=1, mvsy=1, has_comp=True,
-                       force_bf16=None):
+                       force_bf16=None, x0=None):
     """One-hot-matmul MC. Returns ([r4*4, c4*4] int32 plane,
     bad [r4, c4] bool — cells whose MV left the window).
     force_bf16: override the platform-derived bf16 choice so the
     production bf16 path can be exercised off-chip by tests (on CPU
     XLA computes bf16 dots at >= f32 internal precision, so the
-    integers-in-bf16 exactness argument holds there too)."""
+    integers-in-bf16 exactness argument holds there too).
+    x0: stripe pixel offset (traced scalar) for the SHARDED path — the
+    cell grid covers frame columns [x0, x0 + c4*4) of a full-width
+    refstack and x0 is already folded into the MVs (absolute
+    coordinates), so tile windows slice at x0 + g*TILE."""
     mv16 = mv16.astype(jnp.int32)
     refsel = refsel.astype(jnp.int32)
     filt = filt.astype(jnp.int32)
@@ -97,11 +101,15 @@ def mc_cells_mxu_plane(refstack, mv16, refsel, comp, filt, inter_mask,
     n_tiles = (c4 * 4 + TILE - 1) // TILE
     c4p = n_tiles * 16
     # pad refs so every tile's col window slices cleanly, and pad the
-    # cell grids to stripe/tile multiples
-    padw = COL_PAD + n_tiles * TILE + CW
+    # cell grids to stripe/tile multiples. With a stripe offset the
+    # pad covers the FULL reference width (windows then slice
+    # dynamically at x0 + g*TILE).
+    padw = COL_PAD + (Wp if x0 is not None else n_tiles * TILE) + CW
     HpR = max(Hp, RW)  # small frames: pad rows so the window slices
     refpad = jnp.zeros((3, HpR, padw), refstack.dtype)
     refpad = refpad.at[:, :Hp, COL_PAD:COL_PAD + Wp].set(refstack)
+    xoff = jnp.int32(0) if x0 is None else \
+        jnp.asarray(x0, jnp.int32)
 
     def padg(a, fill=0):
         out = jnp.full((r4p, c4p) + a.shape[2:], fill, a.dtype)
@@ -144,9 +152,10 @@ def mc_cells_mxu_plane(refstack, mv16, refsel, comp, filt, inter_mask,
             vt_g = jax.lax.dynamic_slice(
                 vtaps, (s * 8, 0, 0), (8, c4p, 8)).reshape(8, G, 16, 8)
 
-            # [G, 3*RW, CW] stacked-ref windows
+            # [G, 3*RW, CW] stacked-ref windows (offset by the stripe
+            # origin when sharded)
             wins = jnp.stack([
-                jax.lax.dynamic_slice(win3, (0, 0, g * TILE),
+                jax.lax.dynamic_slice(win3, (0, 0, xoff + g * TILE),
                                       (3, RW, CW))
                 for g in range(G)]).reshape(G, 3 * RW, CW)
 
@@ -168,7 +177,7 @@ def mc_cells_mxu_plane(refstack, mv16, refsel, comp, filt, inter_mask,
             col_in = ix_g[..., None] + (j11 - 3)           # [8,G,16,11]
             col_cl = jnp.clip(col_in, 0, w - 1)
             gbase = (jnp.arange(G) * TILE)[None, :, None, None]
-            col_loc = col_cl + COL_PAD - gbase - TILE * 0
+            col_loc = col_cl + COL_PAD - gbase - xoff
             # window for tile g starts at refpad col g*TILE, i.e.
             # global col g*TILE - COL_PAD
             bad_col = (col_loc < 0) | (col_loc >= CW)
@@ -280,13 +289,14 @@ def mc_cells_fixup(out, bad, refstack, mv16, refsel, comp, filt,
 
 
 def mc_cells(refstack, mv16, refsel, comp, filt, inter_mask, w, h, bpp,
-             mvsx=1, mvsy=1, has_comp=True):
+             mvsx=1, mvsy=1, has_comp=True, x0=None):
     """MXU MC + compacted fixup; overflow falls back to the gather path
-    for the whole plane."""
+    for the whole plane. x0: stripe offset for the sharded path (the
+    fixup/fallback gather paths work on the absolute MVs unchanged)."""
     from . import recon_tpu
     out, bad = mc_cells_mxu_plane(refstack, mv16, refsel, comp, filt,
                                   inter_mask, w, h, bpp, mvsx, mvsy,
-                                  has_comp)
+                                  has_comp, x0=x0)
     out, overflow = mc_cells_fixup(out, bad, refstack, mv16, refsel,
                                    comp, filt, w, h, bpp, mvsx, mvsy)
     full = jax.lax.cond(

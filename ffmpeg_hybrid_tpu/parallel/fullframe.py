@@ -495,20 +495,28 @@ def frame_tensors(s):
 
 def _stripe_plane(coef, eob4, txsz4, txtype4, inter4, comp, filt, refsel,
                   mv16, refstack, x0, w, hh, lossless, bpp, mvsx, mvsy,
-                  has_inter, slab, L, sizes, caps):
+                  has_inter, slab, L, sizes, caps, mc_impl="gather"):
     """Reconstruct one stripe of one plane: residual + MC + intra.
     Mirrors recon_tpu._recon_plane_inter + run_intra_plane on the
     stripe, with the stripe's pixel offset folded into the MV grid so
-    reference gathers hit absolute coordinates."""
+    reference gathers hit absolute coordinates. mc_impl="mxu" routes
+    MC through the one-hot-matmul kernel with stripe-aware windows
+    (ops/mc_mxu.py x0 — 3.5x the gather path on real TPUs)."""
     residual = recon_tpu.residual_plane(
         coef, eob4, txsz4, txtype4, lossless, bpp).astype(jnp.int32)
     plane = jnp.zeros(coef.shape, jnp.int32)
     if has_inter:
         inter_b = inter4.astype(bool)
         mv16 = mv16.at[..., 0].add(x0 * (16 // mvsx))
-        mc = recon_tpu._mc_cells(refstack, mv16, refsel,
+        if mc_impl == "mxu":
+            from ..ops import mc_mxu
+            mc = mc_mxu.mc_cells(refstack, mv16, refsel,
                                  comp.astype(bool), filt, inter_b,
-                                 w, hh, bpp, mvsx, mvsy)
+                                 w, hh, bpp, mvsx, mvsy, x0=x0)
+        else:
+            mc = recon_tpu._mc_cells(refstack, mv16, refsel,
+                                     comp.astype(bool), filt, inter_b,
+                                     w, hh, bpp, mvsx, mvsy)
         maxp = (1 << bpp) - 1
         mcfull = jnp.clip(mc + residual[:mc.shape[0], :mc.shape[1]],
                           0, maxp)
@@ -521,12 +529,20 @@ def _stripe_plane(coef, eob4, txsz4, txtype4, inter4, comp, filt, refsel,
     return plane
 
 
-def build_sharded_step(mesh, cfg, slab_cfg):
+def build_sharded_step(mesh, cfg, slab_cfg, mc_impl=None):
     """Jit-compile the full sharded pass-B step for one frame geometry.
-    slab_cfg: ((Ly, sizes_y, caps_y) or None, (Luv, ...) or None)."""
+    slab_cfg: ((Ly, sizes_y, caps_y) or None, (Luv, ...) or None).
+    mc_impl: "mxu"/"gather"; None = platform default (mxu on real
+    TPUs, gather on the CPU virtual mesh)."""
     ntile = cfg["ntile"]
     bpp = cfg["bpp"]
     y_slab, uv_slab = slab_cfg
+    if mc_impl is None:
+        from ..utils.config import get_config
+        mc_impl = get_config().mc_impl
+    if mc_impl is None:
+        mc_impl = ("mxu" if jax.devices()[0].platform != "cpu"
+                   else "gather")
 
     sp = P("gop", "tile")
     g3 = P("gop", "tile", None, None)     # [G, T, H, W]
@@ -572,7 +588,8 @@ def build_sharded_step(mesh, cfg, slab_cfg):
             one("ycoef"), one("yeob"), one("ytxsz"), one("ytxtype"),
             one("yinter"), one("ycomp"), one("yfilt"), one("yrefsel"),
             one("ymv"), refy, x0, cfg["w"], cfg["hh"], cfg["lossless"],
-            bpp, 2, 2, cfg["has_inter"], yslab, Ly, sizes_y, caps_y)
+            bpp, 2, 2, cfg["has_inter"], yslab, Ly, sizes_y, caps_y,
+            mc_impl=mc_impl)
 
         if uv_slab is not None:
             Luv, sizes_uv, caps_uv = uv_slab
@@ -586,12 +603,12 @@ def build_sharded_step(mesh, cfg, slab_cfg):
             one("ucoef"), one("ueob"), *uv_args[:2], *uv_args[2:],
             refu, x0u, cfg["wu"], cfg["hhu"], cfg["lossless"], bpp,
             cfg["mvsx_uv"], cfg["mvsy_uv"], cfg["has_inter"],
-            uvslab, Luv, sizes_uv, caps_uv)
+            uvslab, Luv, sizes_uv, caps_uv, mc_impl=mc_impl)
         v = _stripe_plane(
             one("vcoef"), one("veob"), *uv_args[:2], *uv_args[2:],
             refv, x0u, cfg["wu"], cfg["hhu"], cfg["lossless"], bpp,
             cfg["mvsx_uv"], cfg["mvsy_uv"], cfg["has_inter"],
-            uvslab, Luv, sizes_uv, caps_uv)
+            uvslab, Luv, sizes_uv, caps_uv, mc_impl=mc_impl)
 
         if cfg["lf"]:
             yb = jnp.zeros((1, y.shape[0], HALO + y.shape[1]),

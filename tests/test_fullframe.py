@@ -236,3 +236,43 @@ def test_gop_geometry_mismatch_clear_error():
     jb = db.decode_pass_a(kb)
     with pytest.raises(ValueError, match="geometry"):
         sharded_decode_pass_b([ja, jb], _mesh(2, 1))
+
+
+def test_sharded_mxu_mc_matches_serial():
+    """The sharded stripe recon with the MXU one-hot MC kernel
+    (stripe-aware windows via the x0 offset, mc_mxu.py) must equal the
+    serial decode exactly — run on the CPU mesh with mc_impl forced,
+    since the CPU default is the gather kernel."""
+    from ffmpeg_hybrid_tpu.utils.config import Config, set_config
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random, encode_inter_flex
+    finally:
+        sys.path.pop(0)
+    w, h = 512, 128
+    k = encode_keyframe_random(w, h, seed=31, filter_level=24,
+                               tile_cols_log2=1)
+    f1 = encode_inter_flex(w, h, seed=32, refresh_mask=0x02,
+                           filter_level=20, coeffs=True, p_intra=0.15,
+                           mv_mags=(0, 2, 4, 8, 64), tile_cols_log2=1)
+    f2 = encode_inter_flex(w, h, seed=33, refidx=(1, 0, 0),
+                           refresh_mask=0x04, filter_level=30,
+                           coeffs=True, mv_mags=(0, 2, 8, 16),
+                           tile_cols_log2=1)
+    ser = VP9Decoder(recon_backend="golden")
+    shd = VP9Decoder(recon_backend="golden")
+    mesh = _mesh(1, 2)
+    set_config(Config(mc_impl="mxu"))
+    try:
+        for fi, data in enumerate((k, f1, f2)):
+            js = ser.decode_pass_a(data)
+            ser.decode_pass_b(js)
+            j = shd.decode_pass_a(data)
+            [planes] = sharded_decode_pass_b([j], mesh)
+            f = j.cur_frame_obj
+            for i in range(3):
+                f.planes[i][...] = planes[i]
+            _assert_frames_equal(js.cur_frame_obj, planes,
+                                 f"mxu frame {fi}")
+    finally:
+        set_config(None)
