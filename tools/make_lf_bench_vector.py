@@ -28,9 +28,12 @@ def main():
     for i in range(n):
         flt, sharp = specs[i % len(specs)]
         print(f"frame {i}: lf={flt} sharp={sharp}", flush=True)
+        # 4 tile columns: the layout real 1080p encoders use, and what
+        # keeps pass A threadable (a single-tile frame serializes the
+        # whole entropy decode)
         pkts.append((i * 33, encode_keyframe_random(
             w, h, 8, seed=500 + i, txfmmode=3, yac_qi=60,
-            filter_level=flt, sharpness=sharp)))
+            filter_level=flt, sharpness=sharp, tile_cols_log2=2)))
     path = os.path.join(ROOT, "vectors", "bench_1080p_lf.ivf")
     write_ivf(path, b"VP90", w, h, 30, 1, pkts)
     oracle = os.path.join(ROOT, ".oracle", "build", "ffmpeg")
