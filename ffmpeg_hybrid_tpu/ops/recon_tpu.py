@@ -528,18 +528,26 @@ def _build_intra_schedule(s, plane_idx):
     return levels
 
 
-def _build_intra_schedule_fast(s, plane_idx):
-    """Native (C) schedule build when block records exist; same levels
-    structure as _build_intra_schedule (entries grouped by dependency
-    level then size — blocks within a level are independent, so the
-    size order within a level is free)."""
+def _intra_flat_native(s, plane_idx):
+    """The native scheduler's flat (entries, (level, sz) keys) output,
+    or None when unavailable."""
     if getattr(s, "use_native", False) \
             and getattr(s, "block_records", None) is not None:
         from ..passa_native import intra_schedule_native
         plane_shape = s.cur_frame_obj.planes[plane_idx].shape
         r4 = plane_shape[0] // 4
         c4 = plane_shape[1] // 4
-        res = intra_schedule_native(s, plane_idx, r4, c4)
+        return intra_schedule_native(s, plane_idx, r4, c4)
+    return None
+
+
+def _build_intra_schedule_fast(s, plane_idx):
+    """Native (C) schedule build when block records exist; same levels
+    structure as _build_intra_schedule (entries grouped by dependency
+    level then size — blocks within a level are independent, so the
+    size order within a level is free)."""
+    if True:
+        res = _intra_flat_native(s, plane_idx)
         if res is not None:
             ents, keys = res
             if not len(ents):
@@ -716,6 +724,53 @@ def _intra_scan(plane, residual, packed, L, sizes, caps, bpp):
             base = base + L * cap
         return pl
     return jax.lax.fori_loop(0, L, body, plane)
+
+
+def pack_intra_slab_flat(ents, keys, Hp, Wp):
+    """Vectorized slab pack straight from the native scheduler's flat
+    (entries [n, 8], keys [n, 2] = (level, sz)) output. Produces
+    byte-identical slabs to pack_intra_slab on the same schedule —
+    within a (level, size) group both keep the native emission order —
+    but without the per-level dict walk, which costs ~6.5 ms/frame on
+    dense random 1080p content (recon.intra_pack)."""
+    if not len(ents):
+        return None
+    # sort by (sz, level); np.lexsort is stable so within-group order
+    # (the native emission order) is preserved
+    order = np.lexsort((keys[:, 0], keys[:, 1]))
+    e = ents[order]
+    lvls = keys[order, 0].astype(np.int64)
+    szs = keys[order, 1]
+    L = int(lvls.max())
+    sizes = tuple(int(v) for v in np.unique(szs))
+    caps = []
+    for sz in sizes:
+        cnt = np.bincount(lvls[szs == sz], minlength=L + 1)[1:]
+        caps.append(_pad_to_bucket(int(cnt.max()), base=8, mult=2))
+    caps = tuple(caps)
+    tot = _pad_to_bucket(L * sum(caps), base=64, mult=2)
+    buf = np.zeros((tot, 8), np.int16)
+    buf[:, 0] = Hp + 64
+    buf[:, 1] = Wp + 64
+    buf[:, 2] = 2  # DC
+    buf[:, 6:8] = 1
+    dest = np.empty(len(e), np.int64)
+    base = 0
+    pos = 0
+    for sz, cap in zip(sizes, caps):
+        m = szs == sz
+        lv = lvls[m]
+        n = int(m.sum())
+        idx = np.arange(n)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = lv[1:] != lv[:-1]
+        gstart = np.maximum.accumulate(np.where(change, idx, 0))
+        dest[pos:pos + n] = base + (lv - 1) * cap + (idx - gstart)
+        pos += n
+        base += L * cap
+    buf[dest] = e
+    return buf, L, sizes, caps
 
 
 def pack_intra_slab(levels, Hp, Wp):
@@ -1143,16 +1198,36 @@ def precompute_host(s):
     h = s.header
     pre = {"levels": [None, None], "pairs": [None] * 3,
            "pairs_merged": None, "lf": None, "slabs": [None, None]}
-    with metrics.timer("recon.intra_sched"):
-        pre["levels"][0] = _build_intra_schedule_fast(s, 0)
-        pre["levels"][1] = _build_intra_schedule_fast(s, 1)
-    with metrics.timer("recon.intra_pack"):
-        # prepack the wavefront slabs off the critical path; U and V
-        # share one slab (identical schedule, different residuals)
-        Hy, Wy = s.sb_rows * 64, s.sb_cols * 64
-        pre["slabs"][0] = pack_intra_slab(pre["levels"][0], Hy, Wy)
-        pre["slabs"][1] = pack_intra_slab(
-            pre["levels"][1], Hy >> h.ss_v, Wy >> h.ss_h)
+    # slab straight from the native flat schedule when available (the
+    # per-level dict walk + per-level pack costs ~9 ms/frame on dense
+    # random 1080p content); recon only reads pre["levels"] when the
+    # slab is missing, so the dicts are skipped entirely here
+    Hy, Wy = s.sb_rows * 64, s.sb_cols * 64
+    dims = ((Hy, Wy), (Hy >> h.ss_v, Wy >> h.ss_h))
+    done_fast = False
+    if getattr(s, "use_native", False) \
+            and getattr(s, "block_records", None) is not None:
+        with metrics.timer("recon.intra_pack"):
+            flats = [_intra_flat_native(s, i) for i in (0, 1)]
+            if all(f is not None for f in flats):
+                for i in (0, 1):
+                    ents, keys = flats[i]
+                    pre["slabs"][i] = pack_intra_slab_flat(
+                        ents, keys, *dims[i])
+                    pre["levels"][i] = [] if pre["slabs"][i] is None \
+                        else None
+                done_fast = True
+    if not done_fast:
+        with metrics.timer("recon.intra_sched"):
+            pre["levels"][0] = _build_intra_schedule_fast(s, 0)
+            pre["levels"][1] = _build_intra_schedule_fast(s, 1)
+        with metrics.timer("recon.intra_pack"):
+            # prepack the wavefront slabs off the critical path; U and
+            # V share one slab (identical schedule, diff. residuals)
+            pre["slabs"][0] = pack_intra_slab(pre["levels"][0],
+                                              *dims[0])
+            pre["slabs"][1] = pack_intra_slab(pre["levels"][1],
+                                              *dims[1])
     with metrics.timer("recon.coef_pack"):
         merged = _merged_from_pairs(s)
         if merged is None and getattr(s, "use_native", False):
