@@ -41,10 +41,12 @@ class _Bits:
 
 
 def _color_block_span(data: bytes):
-    """Locate the colour block: returns (profile, start_bit, end_bit,
-    cur_cs, cur_range, intra_only) or None when this frame carries no
-    colour metadata (inter frames, profile-0 intra-only,
-    show-existing)."""
+    """Locate the colour block: returns (span, p0_intra_only) where
+    span is (profile, start_bit, end_bit, cur_cs, cur_range,
+    intra_only), or None when this frame carries no colour metadata
+    (inter frames, profile-0 intra-only, show-existing).
+    p0_intra_only flags the one colour-less case that is implicitly
+    BT.601 (vp9_metadata.c:72 warns only for it)."""
     bc = _Bits(data)
     if bc.get(2) != 2:
         raise ValueError("invalid frame marker")
@@ -53,7 +55,7 @@ def _color_block_span(data: bytes):
         if bc.get(1):
             raise ValueError("profile reserved bit set")
     if bc.get(1):          # show_existing_frame
-        return None
+        return None, False
     frame_type = bc.get(1)
     show_frame = bc.get(1)
     errorres = bc.get(1)
@@ -63,7 +65,7 @@ def _color_block_span(data: bytes):
         if errorres == 0:
             bc.get(2)      # reset_frame_context
         if not intra_only or profile == 0:
-            return None
+            return None, bool(intra_only) and profile == 0
     if bc.get(24) != 0x498342:
         raise ValueError("invalid sync code")
     start = bc.pos
@@ -77,7 +79,7 @@ def _color_block_span(data: bytes):
             bc.get(3)      # ss_h, ss_v, reserved
     elif profile in (1, 3):
         bc.get(1)          # reserved
-    return profile, start, bc.pos, cs, rng, intra_only
+    return (profile, start, bc.pos, cs, rng, intra_only), False
 
 
 def _header_total_bits(data: bytes) -> int:
@@ -100,14 +102,13 @@ def rewrite_color(data: bytes, color_space: Optional[int] = None,
     """Return `data` with colour metadata rewritten (vp9_metadata.c
     semantics, incl. the RGB warnings/implications); frames without
     colour metadata pass through unchanged."""
-    span = _color_block_span(data)
+    span, p0_intra_only = _color_block_span(data)
     if span is None:
-        if color_space is not None and color_space != CS_BT601:
-            b0 = data[0]
-            if (b0 >> 6) == 2 and not ((b0 >> 3) & 1 or (b0 >> 4) & 1):
-                # profile-0 intra-only frames are implicitly BT.601
-                warn("intra-only frames in profile 0 are "
-                     "automatically BT.601")
+        if color_space is not None and color_space != CS_BT601 \
+                and p0_intra_only:
+            # profile-0 intra-only frames are implicitly BT.601
+            warn("intra-only frames in profile 0 are "
+                 "automatically BT.601")
         return data
     profile, start, end, cs, rng, _intra = span
 

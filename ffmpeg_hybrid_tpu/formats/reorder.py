@@ -160,10 +160,10 @@ class VP9RawReorder:
             return (fr.pts, fr.data)
         if fr.needs_output:
             fr.needs_output = False
-            # out->pts = out->dts: an unshown (or later-shown) frame is
-            # emitted at its decode time; IVF carries one timestamp, so
-            # the display pts (if any) rides the later show-existing
-            return (fr.pts, fr.data)
+            # out->pts = out->dts (raw_reorder.c): a later-shown frame's
+            # coded packet carries no display pts; the display pts rides
+            # the later show-existing packet
+            return (None if fr.needs_display else fr.pts, fr.data)
         # display-only: synthesize show_existing from the lowest slot
         if fr.slots == 0:
             raise ValueError("displaying a frame no longer in any slot")

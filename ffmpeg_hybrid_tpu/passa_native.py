@@ -89,11 +89,38 @@ class NativeCtx(C.Structure):
     )
 
 
+def _native_srchash(nat_dir):
+    """sha256 over the C sources (the ABI the ctypes mirror tracks)."""
+    import hashlib
+    h = hashlib.sha256()
+    for name in sorted(os.listdir(nat_dir)):
+        if name.endswith((".c", ".h")):
+            with open(os.path.join(nat_dir, name), "rb") as f:
+                h.update(name.encode() + b"\0" + f.read() + b"\0")
+    return h.hexdigest()
+
+
 def lib():
+    """Load (building or rebuilding if needed) the native pass-A
+    library. A `.srchash` sidecar written by native/build.sh records
+    the source hash the .so was built from; a stale or missing .so is
+    rebuilt rather than loaded (a mismatched binary would desync from
+    the ctypes `Ctx` mirror and corrupt memory)."""
     global _LIB
     if _LIB is None:
-        path = os.path.join(os.path.dirname(__file__), "..", "native",
-                            "libvp9passa.so")
+        nat_dir = os.path.join(os.path.dirname(__file__), "..",
+                               "native")
+        path = os.path.join(nat_dir, "libvp9passa.so")
+        sidecar = path + ".srchash"
+        want = _native_srchash(nat_dir)
+        have = None
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                have = f.read().strip()
+        if not os.path.exists(path) or have != want:
+            import subprocess
+            subprocess.run(["sh", os.path.join(nat_dir, "build.sh")],
+                           check=True, capture_output=True)
         _LIB = C.CDLL(path)
         _LIB.vp9_decode_tiles.restype = C.c_int
     return _LIB
@@ -103,7 +130,7 @@ def available() -> bool:
     try:
         lib()
         return True
-    except OSError:
+    except Exception:
         return False
 
 

@@ -13,6 +13,10 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 
+def _env_bool(name):
+    return os.environ.get(name, "").lower() not in ("", "0", "false")
+
+
 def _env_int(name, default):
     v = os.environ.get(name)
     return default if v in (None, "") else int(v)
@@ -57,7 +61,7 @@ class Config:
         return cls(
             mc_impl=os.environ.get("FFH_MC") or None,
             lf_impl=os.environ.get("FFH_LF") or None,
-            metrics=bool(os.environ.get("VP9_METRICS")),
+            metrics=_env_bool("VP9_METRICS"),
             bench_vec=os.environ.get("BENCH_VEC", "bench_1080p"),
             bench_budget_s=_env_float("BENCH_BUDGET_S", 45.0),
             bench_trials=_env_int("BENCH_TRIALS", 3),
@@ -67,9 +71,9 @@ class Config:
                                             12),
             bench_verify_timeout_s=_env_float("BENCH_VERIFY_TIMEOUT_S",
                                               1500.0),
-            bench_skip_4k=bool(os.environ.get("BENCH_SKIP_4K")),
+            bench_skip_4k=_env_bool("BENCH_SKIP_4K"),
             bench_phase=os.environ.get("BENCH_PHASE") or None,
-            full_tpu_e2e=bool(os.environ.get("FULL_TPU_E2E")),
+            full_tpu_e2e=_env_bool("FULL_TPU_E2E"),
         )
 
 

@@ -140,3 +140,62 @@ def test_metadata_passthrough_non_color_frames():
             if out == fd:
                 n_inter += 1
     assert n_inter >= 4  # every non-keyframe unchanged
+
+
+def _mk_keyframe_stub():
+    # marker=10 profile=0 show_existing=0 frame_type=0(key) show=1
+    # errorres=0, then sync code (all parse_frame_bits needs)
+    return bytes([0x82, 0x49, 0x83, 0x42])
+
+
+def _mk_inter_stub(refresh):
+    # marker=10 profile=0 show_existing=0 frame_type=1 show=1
+    # errorres=0 -> reset(2)=0 then refresh(8)
+    bits = [1, 0, 0, 0, 0, 1, 1, 0, 0, 0]
+    bits += [(refresh >> (7 - i)) & 1 for i in range(8)]
+    while len(bits) % 8:
+        bits.append(0)
+    out = bytearray(len(bits) // 8)
+    for i, b in enumerate(bits):
+        out[i >> 3] |= b << (7 - (i & 7))
+    return bytes(out)
+
+
+def test_reorder_coded_packet_of_later_displayed_frame_has_no_pts():
+    """out->pts = out->dts (vp9_raw_reorder.c): when a frame is output
+    in coded order but displayed later via show-existing, its coded
+    packet must not carry the display pts."""
+    from ffmpeg_hybrid_tpu.formats.reorder import VP9RawReorder
+    r = VP9RawReorder()
+    f1 = _mk_keyframe_stub()          # coded first, displayed at 10
+    f2 = _mk_inter_stub(0x00)         # coded second, displayed at 0
+    assert r.send(10, f1) == []
+    out = r.send(0, f2)
+    # f1's coded packet is forced out first (earlier sequence), but
+    # its display rides the later show-existing packet
+    assert out[0] == (None, f1)
+    assert out[1] == (0, f2)
+    fl = r.flush()
+    assert len(fl) == 1 and fl[0][0] == 10 and len(fl[0][1]) == 2
+
+
+def test_metadata_bt601_warning_only_for_p0_intra_only():
+    """vp9_metadata.c:72 warns only for actual intra-only profile-0
+    frames, not for every colour-less (inter) frame."""
+    from ffmpeg_hybrid_tpu.formats.metadata import rewrite_color
+    warns = []
+    inter = _mk_inter_stub(0x01)
+    assert rewrite_color(inter, 2, 1, warns.append) == inter
+    assert warns == []
+    # profile-0 intra-only: frame_type=1 show=0 errorres=0 intra=1
+    bits = [1, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0]
+    sync = 0x498342
+    bits += [(sync >> (23 - i)) & 1 for i in range(24)]
+    bits += [0] * 8  # refresh
+    while len(bits) % 8:
+        bits.append(0)
+    pkt = bytearray(len(bits) // 8)
+    for i, b in enumerate(bits):
+        pkt[i >> 3] |= b << (7 - (i & 7))
+    assert rewrite_color(bytes(pkt), 2, 1, warns.append) == bytes(pkt)
+    assert len(warns) == 1 and "BT.601" in warns[0]

@@ -43,4 +43,13 @@ cd native
 gcc $FLAGS -fprofile-use -fprofile-correction vp9_entropy.c vp9_lpf.c \
     -o libvp9passa.so 2>/dev/null
 rm -f libvp9passa.so-*.gcda
+python3 - <<'PYEOF'
+import hashlib, os
+h = hashlib.sha256()
+for name in sorted(os.listdir(".")):
+    if name.endswith((".c", ".h")):
+        with open(name, "rb") as f:
+            h.update(name.encode() + b"\0" + f.read() + b"\0")
+open("libvp9passa.so.srchash", "w").write(h.hexdigest() + "\n")
+PYEOF
 echo "built native/libvp9passa.so (PGO)"
