@@ -280,11 +280,44 @@ def _timed_clip(packets, budget_s, trials):
     return med, [round(w, 2) for w in windows]
 
 
+def _ensure_pgo_native():
+    """Build (or rebuild) the native pass-A library with PGO before
+    anything loads it. The binary is not committed (a host-specific
+    -march=native artifact); from a fresh clone lib() would fall back
+    to the plain build and give up the measured 12-18% pass-A win, so
+    the bench explicitly runs the PGO pipeline when the sidecar hash
+    is stale. ~2 min of training decode, amortized over the round."""
+    import subprocess
+    nat = os.path.join(ROOT, "native")
+    so = os.path.join(nat, "libvp9passa.so")
+    sidecar = so + ".srchash"
+    stamp = so + ".pgo"
+    from ffmpeg_hybrid_tpu.passa_native import _native_srchash
+    want = _native_srchash(nat)
+    have = None
+    if os.path.exists(sidecar) and os.path.exists(stamp):
+        with open(sidecar) as f:
+            have = f.read().strip()
+    if os.path.exists(so) and have == want:
+        return
+    print("[bench] building PGO native library...", file=sys.stderr)
+    try:
+        subprocess.run(
+            ["sh", os.path.join(ROOT, "tools", "build_native_pgo.sh")],
+            check=True, capture_output=True, timeout=900)
+        with open(stamp, "w") as f:
+            f.write(want + "\n")
+    except Exception as e:
+        print(f"[bench] PGO build failed ({e!r}); plain build",
+              file=sys.stderr)
+
+
 def main():
     import faulthandler
     import signal
     faulthandler.register(signal.SIGUSR1, file=sys.stderr)
     _setup_jax_cache()
+    _ensure_pgo_native()
 
     from ffmpeg_hybrid_tpu.utils.config import get_config
     cfg = get_config()

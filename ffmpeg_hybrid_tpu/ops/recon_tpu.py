@@ -211,7 +211,7 @@ def _mulshift14(a, b):
 
 def _mc_ref_scaled(refstack, mvraw, refsel, filt, ay, ax, by, bx, pw, ph,
                    scales, steps, refw, refh, cols, rows, bpp, ri,
-                   ss_x, ss_y):
+                   ss_x, ss_y, sx0=0):
     """Scaled MC for one reference direction -> [r4, c4, 4, 4] int32.
 
     mvraw: RAW 1/8-pel MV grid for this plane (mv4 / uvmv4).
@@ -219,7 +219,10 @@ def _mc_ref_scaled(refstack, mvraw, refsel, filt, ay, ax, by, bx, pw, ph,
     block corner and span (this plane's px) for the MV clamp.
     scales/steps: [3, 2] per-ref-slot 14-bit scale factors and 1/16-pel
     per-pixel steps; refw/refh: [3] visible plane dims per slot.
-    """
+    sx0: this stripe's absolute plane-px offset (0 for the serial path;
+    the sharded path passes the stripe origin so the closed-form
+    per-pixel stepping works in frame coordinates while the cell grid
+    stays stripe-local)."""
     r4, c4 = refsel.shape[:2]
     Hp, Wp = refstack.shape[1:]
     ftab = jnp.asarray(_FTAB)
@@ -264,7 +267,7 @@ def _mc_ref_scaled(refstack, mvraw, refsel, filt, ay, ax, by, bx, pw, ph,
 
     # per-pixel totals within the cell (closed form of the C stepping)
     cy4 = (jnp.arange(r4) * 4)[:, None, None]
-    cx4 = (jnp.arange(c4) * 4)[None, :, None]
+    cx4 = (jnp.arange(c4) * 4)[None, :, None] + sx0
     j4 = jnp.arange(4)[None, None, :]
     kx = cx4 + j4 - ax[:, :, None]          # pixel offset from call corner
     ky = cy4 + j4 - ay[:, :, None]
@@ -348,23 +351,25 @@ def _mc_one_ref_unscaled(refstack, mv16, refsel, filt, w, h, bpp, ri):
 @partial(jax.jit, static_argnames=("bpp", "mvsx", "mvsy", "ss_x", "ss_y"))
 def _mc_cells_mixed(refstack, mvraw, refsel, comp, filt, ay, ax, by, bx,
                     pw, ph, scales, steps, refw, refh, scale_nz, cols,
-                    rows, bpp, mvsx, mvsy, ss_x, ss_y):
+                    rows, bpp, mvsx, mvsy, ss_x, ss_y, x0=0):
     """MC for frames with scaled references: per cell and per reference
     direction, same-size refs take the unscaled path and resized refs
     the scaled path (the reference's per-ref dispatch,
-    vp9recon.c:503-504 dims check)."""
+    vp9recon.c:503-504 dims check). x0: stripe plane-px offset (the
+    sharded path; 0 serial)."""
     mvraw = mvraw.astype(jnp.int32)
     refsel = refsel.astype(jnp.int32)
     filt = filt.astype(jnp.int32)
     comp = comp.astype(bool)
     mv16 = mvraw.at[..., 0].multiply(mvsx).at[..., 1].multiply(mvsy)
+    mv16 = mv16.at[..., 0].add(x0 * 16)
 
     def one_ref(ri):
         un = _mc_one_ref_unscaled(refstack, mv16, refsel, filt, refw,
                                   refh, bpp, ri)
         sc = _mc_ref_scaled(refstack, mvraw, refsel, filt, ay, ax, by,
                             bx, pw, ph, scales, steps, refw, refh, cols,
-                            rows, bpp, ri, ss_x, ss_y)
+                            rows, bpp, ri, ss_x, ss_y, sx0=x0)
         use_sc = scale_nz[refsel[:, :, ri]]
         return jnp.where(use_sc[..., None, None], sc, un)
 
@@ -1187,6 +1192,18 @@ def _needs_golden_fallback(s):
     return any(sc[0] == -1 for sc in getattr(s, "mvscale", [[0, 0]] * 3))
 
 
+def _lf_dense_mode():
+    """True when the loop filter runs as the dense device kernel (the
+    production path on real chips); False selects the record/pack +
+    scan replay (the CPU-test default)."""
+    from ..utils.config import get_config
+    lf_impl = get_config().lf_impl
+    if lf_impl is None:
+        lf_impl = ("dense" if jax.devices()[0].platform != "cpu"
+                   else "scan")
+    return lf_impl == "dense"
+
+
 def precompute_host(s):
     """Pass-B host-only products, computed at the end of pass A so the
     pipelined decode mode overlaps them with the previous frame's
@@ -1243,18 +1260,35 @@ def precompute_host(s):
                     coef, eob4, txg, wide=h.bpp > 8)
     if h.filter_level and getattr(s, "use_native", False):
         try:
-            from ..passa_native import lpf_record_native
-            from . import lpf_tpu
-            with metrics.timer("recon.lf_record"):
-                y_rec, ny, uv_rec, nuv = lpf_record_native(s)
-            with metrics.timer("recon.lf_pack"):
-                ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
-                uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv, s.sb_cols)
-            pre["lf"] = (ysteps, ny, uvsteps, nuv)
-            from . import lpf_dense as _lpfd
-            pre["lf_par"] = (
-                not _lpfd.has_offgrid_edges(y_rec, ny),
-                not _lpfd.has_offgrid_edges(uv_rec, nuv))
+            if _lf_dense_mode():
+                # dense impl: no host record/pack at all — pass A's
+                # mask/level grids go up the link and ONE device
+                # dispatch derives the dense parameter grids
+                # (lpf_masks.grids_device); only cheap superset flags
+                # are computed here
+                from . import lpf_masks
+                with metrics.timer("recon.lf_flags"):
+                    pre["lf_masks"] = lpf_masks.lf_flags(s)
+                if pre["lf_masks"][0] or pre["lf_masks"][1]:
+                    pre["lf_bufs"] = (
+                        s.lf_level.reshape(-1).astype(np.int16),
+                        np.ascontiguousarray(s.lf_mask).reshape(-1),
+                        np.concatenate(
+                            [s.lim_lut, s.mblim_lut]).astype(np.int32))
+            else:
+                from ..passa_native import lpf_record_native
+                from . import lpf_tpu
+                with metrics.timer("recon.lf_record"):
+                    y_rec, ny, uv_rec, nuv = lpf_record_native(s)
+                with metrics.timer("recon.lf_pack"):
+                    ysteps = lpf_tpu.pack_schedule(y_rec, ny, s.sb_cols)
+                    uvsteps = lpf_tpu.pack_schedule(uv_rec, nuv,
+                                                    s.sb_cols)
+                pre["lf"] = (ysteps, ny, uvsteps, nuv)
+                from . import lpf_dense as _lpfd
+                pre["lf_par"] = (
+                    not _lpfd.has_offgrid_edges(y_rec, ny),
+                    not _lpfd.has_offgrid_edges(uv_rec, nuv))
         except OSError:
             pass
     # pack the per-block record table here too (pure host work)
@@ -1299,6 +1333,12 @@ def _pack_flat_upload(pre):
             add("lfy", ysteps.view(np.int16), "i32")
         if nuv:
             add("lfuv", uvsteps.view(np.int16), "i32")
+    lfm = pre.get("lf_masks")
+    if lfm is not None and (lfm[0] or lfm[1]):
+        lvl, msk, luts = pre["lf_bufs"]
+        add("lfl", lvl)
+        add("lfm", msk.view(np.int16), "i32")
+        add("lfluts", luts.view(np.int16), "i32")
     return np.concatenate(parts), spec
 
 
@@ -1372,6 +1412,10 @@ def upload_job(s):
             if pre.get("lf") is not None:
                 dev["lfy"] = views.get("lfy")
                 dev["lfuv"] = views.get("lfuv")
+            if pre.get("lf_masks") is not None:
+                dev["lfl"] = views.get("lfl")
+                dev["lfm"] = views.get("lfm")
+                dev["lfluts"] = views.get("lfluts")
         pre["dev"] = dev
         return
     with metrics.timer("upload.recs"):
@@ -1617,7 +1661,49 @@ def recon_frame(s):
     # loop filter on device: replay the native walker's recorded edge
     # sequence as a wavefront scan (planes never leave the device)
     lf_done = False
-    if h.filter_level and getattr(s, "use_native", False):
+    if (h.filter_level and getattr(s, "use_native", False)
+            and pre is not None and pre.get("lf_masks") is not None):
+        # masks path: dense parameter grids derived on device from
+        # pass A's level/mask outputs (lpf_masks) — no host schedule
+        y_any, uv_any, y_par, uv_par = pre["lf_masks"]
+        from . import lpf_dense, lpf_masks
+        with metrics.timer("recon.lf_enqueue"):
+            if y_any or uv_any:
+                lfl = dev.get("lfl")
+                if lfl is None:
+                    lvl, msk, luts = pre.get("lf_bufs") or (
+                        s.lf_level.reshape(-1).astype(np.int16),
+                        np.ascontiguousarray(s.lf_mask).reshape(-1),
+                        np.concatenate(
+                            [s.lim_lut, s.mblim_lut]).astype(np.int32))
+                    lfl = jnp.asarray(lvl)
+                    lfm = jnp.asarray(msk)
+                    lfluts = jnp.asarray(luts)
+                else:
+                    lfm = dev.get("lfm")
+                    lfluts = dev.get("lfluts")
+                Vy, Hgy, Vu, Hgu = lpf_masks.grids_device(
+                    lfl, lfm, lfluts, s.sb_rows, s.sb_cols,
+                    h.ss_h, h.ss_v)
+            if y_any:
+                kern = (lpf_dense.lf_dense_par if y_par
+                        else lpf_dense.lf_dense)
+                y = kern(outs[0][None], Vy, Hgy, s.sb_rows,
+                         s.sb_cols, 64, 64, bpp)[0]
+            else:
+                y = outs[0]
+            if uv_any:
+                kern = (lpf_dense.lf_dense_par if uv_par
+                        else lpf_dense.lf_dense)
+                uv = kern(jnp.stack([outs[1], outs[2]]), Vu, Hgu,
+                          s.sb_rows, s.sb_cols,
+                          64 >> h.ss_h, 64 >> h.ss_v, bpp)
+                u, v = uv[0], uv[1]
+            else:
+                u, v = outs[1], outs[2]
+        outs = [y, u, v]
+        lf_done = True
+    elif h.filter_level and getattr(s, "use_native", False):
         try:
             from . import lpf_tpu
             if pre is not None and pre["lf"] is not None:
