@@ -342,12 +342,16 @@ def _pack_slabs_tiles(levels_per_tile, Hp, Wpad, unify=None):
 
 def frame_tensors(s):
     """Everything the sharded step needs, as numpy, stacked [ntile, ...]
-    per stripe. Raises ValueError for frames the sharded path does not
-    cover (scaled references, show-existing)."""
+    per stripe. Scaled references ride as the mixed MC dispatch
+    inputs; only invalid-scale refs (the serial golden-fallback class)
+    raise."""
     h = s.header
-    if getattr(s, "mvscale", None) is not None and any(
-            sc[0] != 0 for sc in s.mvscale):
-        raise ValueError("sharded path: scaled/invalid refs unsupported")
+    mvsc = getattr(s, "mvscale", None)
+    if mvsc is not None and any(sc[0] == -1 for sc in mvsc):
+        # same contract as the serial path: invalid-scale refs (>2x /
+        # >16x off) golden-fallback (vp9recon.c:661-669)
+        raise ValueError("sharded path: invalid-scale refs unsupported")
+    has_scaled = mvsc is not None and any(sc[0] != 0 for sc in mvsc)
     bounds = _tile_bounds(s)  # SB units
     ntile = len(bounds) - 1
     ss_h, ss_v = h.ss_h, h.ss_v
@@ -478,6 +482,36 @@ def frame_tensors(s):
     t["refy"], t["refu"], t["refv"] = refs
 
     w, hh = s.cur_frame_obj.size
+    if has_scaled:
+        # scaled-reference MC inputs: per-cell call anchors + parent
+        # clamp geometry (absolute plane px — valid across stripes),
+        # per-slot scale factors/steps and visible ref dims
+        anchors = [np.asarray(a) for a in recon_tpu._scaled_anchor_grids(
+            jnp.asarray(recs), r4, c4, ss_h, ss_v)]
+        ay, ax, by, bx, pw, ph = anchors[:6]
+        ayu, axu, byu, bxu, pwu, phu = anchors[6:]
+        for k, a in (("s_ay", ay), ("s_ax", ax), ("s_by", by),
+                     ("s_bx", bx), ("s_pw", pw), ("s_ph", ph)):
+            t[k] = stack_y(a.astype(np.int32), 4)
+        for k, a in (("s_ayu", ayu), ("s_axu", axu), ("s_byu", byu),
+                     ("s_bxu", bxu), ("s_pwu", pwu), ("s_phu", phu)):
+            t[k] = stack_u(a.astype(np.int32), 4)
+        t["mvscales"] = np.asarray(s.mvscale, np.int32)
+        t["mvsteps"] = np.asarray(s.mvstep, np.int32)
+        t["scalenz"] = np.asarray(
+            [1 if sc[0] != 0 else 0 for sc in s.mvscale], np.int32)
+        refw_y = np.zeros(3, np.int32)
+        refh_y = np.zeros(3, np.int32)
+        refw_u = np.zeros(3, np.int32)
+        refh_u = np.zeros(3, np.int32)
+        for i in range(3):
+            rf = s.refs[h.refidx[i]]
+            rw, rh = rf.size if rf is not None else (w, hh)
+            refw_y[i], refh_y[i] = rw, rh
+            refw_u[i] = (rw + ss_h) >> ss_h
+            refh_u[i] = (rh + ss_v) >> ss_v
+        t["refwy"], t["refhy"] = refw_y, refh_y
+        t["refwu"], t["refhu"] = refw_u, refh_u
     cfg = {
         "ntile": ntile, "bpp": h.bpp, "lossless": bool(h.lossless),
         "has_inter": has_inter, "lf": bool(h.filter_level),
@@ -485,6 +519,8 @@ def frame_tensors(s):
         "wu": (w + ss_h) >> ss_h, "hhu": (hh + ss_v) >> ss_v,
         "mvsx_uv": 1 << (1 - ss_h), "mvsy_uv": 1 << (1 - ss_v),
         "Hy": Hy, "Wpad": Wpad, "Hu": Hu, "Wpadu": Wpadu,
+        "has_scaled": has_scaled, "ss_h": ss_h, "ss_v": ss_v,
+        "cols": s.cols, "rows": s.rows,
     }
     return t, cfg, (lv_y, lv_uv)
 
@@ -495,25 +531,39 @@ def frame_tensors(s):
 
 def _stripe_plane(coef, eob4, txsz4, txtype4, inter4, comp, filt, refsel,
                   mv16, refstack, x0, w, hh, lossless, bpp, mvsx, mvsy,
-                  has_inter, slab, L, sizes, caps, mc_impl="gather"):
+                  has_inter, slab, L, sizes, caps, mc_impl="gather",
+                  scaled=None):
     """Reconstruct one stripe of one plane: residual + MC + intra.
     Mirrors recon_tpu._recon_plane_inter + run_intra_plane on the
     stripe, with the stripe's pixel offset folded into the MV grid so
     reference gathers hit absolute coordinates. mc_impl="mxu" routes
     MC through the one-hot-matmul kernel with stripe-aware windows
-    (ops/mc_mxu.py x0 — 3.5x the gather path on real TPUs)."""
+    (ops/mc_mxu.py x0 — 3.5x the gather path on real TPUs).
+    scaled: (anchors_6tuple, scales, steps, refw, refh, scale_nz,
+    cols, rows, ss_x, ss_y) when the frame has scaled references —
+    the mixed per-ref dispatch (vp9recon.c:503-504) in frame
+    coordinates via the stripe offset x0."""
     residual = recon_tpu.residual_plane(
         coef, eob4, txsz4, txtype4, lossless, bpp).astype(jnp.int32)
     plane = jnp.zeros(coef.shape, jnp.int32)
     if has_inter:
         inter_b = inter4.astype(bool)
-        mv16 = mv16.at[..., 0].add(x0 * (16 // mvsx))
-        if mc_impl == "mxu":
+        if scaled is not None:
+            (anch, scales, steps, refw, refh, scale_nz,
+             cols, rows, ss_x, ss_y) = scaled
+            mc = recon_tpu._mc_cells_mixed(
+                refstack, mv16, refsel, comp.astype(bool), filt,
+                *anch, scales, steps, refw, refh,
+                scale_nz.astype(bool), cols, rows, bpp, mvsx, mvsy,
+                ss_x, ss_y, x0=x0)
+        elif mc_impl == "mxu":
             from ..ops import mc_mxu
+            mv16 = mv16.at[..., 0].add(x0 * (16 // mvsx))
             mc = mc_mxu.mc_cells(refstack, mv16, refsel,
                                  comp.astype(bool), filt, inter_b,
                                  w, hh, bpp, mvsx, mvsy, x0=x0)
         else:
+            mv16 = mv16.at[..., 0].add(x0 * (16 // mvsx))
             mc = recon_tpu._mc_cells(refstack, mv16, refsel,
                                      comp.astype(bool), filt, inter_b,
                                      w, hh, bpp, mvsx, mvsy)
@@ -555,10 +605,20 @@ def build_sharded_step(mesh, cfg, slab_cfg, mc_impl=None):
         ucoef=g3, ueob=g3, vcoef=g3, veob=g3, uvtxsz=g3, uvtxtype=g3,
         uvinter=g3, uvcomp=g3, uvfilt=g3, uvrefsel=g4, uvmv=g5,
         x0=sp, x0u=sp, wreal=sp, wrealu=sp,
+        dims=P("gop", None),
         ysteps=g4, uvsteps=g4,
         yslab=g3, uvslab=g3,
         refy=rep, refu=rep, refv=rep,
     )
+    if cfg["has_scaled"]:
+        gp2 = P("gop", None, None)
+        gp1 = P("gop", None)
+        for k in ("s_ay", "s_ax", "s_by", "s_bx", "s_pw", "s_ph",
+                  "s_ayu", "s_axu", "s_byu", "s_bxu", "s_pwu",
+                  "s_phu"):
+            specs[k] = g3
+        specs.update(mvscales=gp2, mvsteps=gp2, scalenz=gp1,
+                     refwy=gp1, refhy=gp1, refwu=gp1, refhu=gp1)
     names = list(specs)
     in_specs = tuple(specs[n] for n in names)
     out_specs = (P("gop", "tile", None, None),) * 3
@@ -578,6 +638,23 @@ def build_sharded_step(mesh, cfg, slab_cfg, mc_impl=None):
         refy = a["refy"][0]
         refu = a["refu"][0]
         refv = a["refv"][0]
+        dims = a["dims"][0]
+        d_w, d_hh, d_wu, d_hhu = dims[0], dims[1], dims[2], dims[3]
+        d_cols, d_rows = dims[4], dims[5]
+
+        sc_y = sc_uv = None
+        if cfg["has_scaled"]:
+            scales = a["mvscales"][0]
+            steps = a["mvsteps"][0]
+            scnz = a["scalenz"][0]
+            sc_y = ((one("s_ay"), one("s_ax"), one("s_by"),
+                     one("s_bx"), one("s_pw"), one("s_ph")),
+                    scales, steps, a["refwy"][0], a["refhy"][0], scnz,
+                    d_cols, d_rows, 0, 0)
+            sc_uv = ((one("s_ayu"), one("s_axu"), one("s_byu"),
+                      one("s_bxu"), one("s_pwu"), one("s_phu")),
+                    scales, steps, a["refwu"][0], a["refhu"][0], scnz,
+                    d_cols, d_rows, cfg["ss_h"], cfg["ss_v"])
 
         if y_slab is not None:
             Ly, sizes_y, caps_y = y_slab
@@ -587,9 +664,9 @@ def build_sharded_step(mesh, cfg, slab_cfg, mc_impl=None):
         y = _stripe_plane(
             one("ycoef"), one("yeob"), one("ytxsz"), one("ytxtype"),
             one("yinter"), one("ycomp"), one("yfilt"), one("yrefsel"),
-            one("ymv"), refy, x0, cfg["w"], cfg["hh"], cfg["lossless"],
+            one("ymv"), refy, x0, d_w, d_hh, cfg["lossless"],
             bpp, 2, 2, cfg["has_inter"], yslab, Ly, sizes_y, caps_y,
-            mc_impl=mc_impl)
+            mc_impl=mc_impl, scaled=sc_y)
 
         if uv_slab is not None:
             Luv, sizes_uv, caps_uv = uv_slab
@@ -601,14 +678,16 @@ def build_sharded_step(mesh, cfg, slab_cfg, mc_impl=None):
                    one("uvmv"))
         u = _stripe_plane(
             one("ucoef"), one("ueob"), *uv_args[:2], *uv_args[2:],
-            refu, x0u, cfg["wu"], cfg["hhu"], cfg["lossless"], bpp,
+            refu, x0u, d_wu, d_hhu, cfg["lossless"], bpp,
             cfg["mvsx_uv"], cfg["mvsy_uv"], cfg["has_inter"],
-            uvslab, Luv, sizes_uv, caps_uv, mc_impl=mc_impl)
+            uvslab, Luv, sizes_uv, caps_uv, mc_impl=mc_impl,
+            scaled=sc_uv)
         v = _stripe_plane(
             one("vcoef"), one("veob"), *uv_args[:2], *uv_args[2:],
-            refv, x0u, cfg["wu"], cfg["hhu"], cfg["lossless"], bpp,
+            refv, x0u, d_wu, d_hhu, cfg["lossless"], bpp,
             cfg["mvsx_uv"], cfg["mvsy_uv"], cfg["has_inter"],
-            uvslab, Luv, sizes_uv, caps_uv, mc_impl=mc_impl)
+            uvslab, Luv, sizes_uv, caps_uv, mc_impl=mc_impl,
+            scaled=sc_uv)
 
         if cfg["lf"]:
             yb = jnp.zeros((1, y.shape[0], HALO + y.shape[1]),
@@ -633,15 +712,84 @@ def sharded_decode_pass_b(jobs, mesh):
     [y, u, v] plane list (numpy, padded plane geometry) per job,
     bit-exact with the serial decode_pass_b.
 
-    All jobs must share frame geometry (the gop axis is data-parallel).
+    The gop axis is data-parallel. Shards may differ in frame
+    geometry (dynamic-resize streams: tensors pad to the gop-wide max
+    and per-frame dims ride as a dynamic tensor) and in scaled-ref
+    status; show-existing shards pass their referenced frame through.
+    Only bpp/lossless/subsampling/tile count must match.
     """
     gop, ntile = mesh.devices.shape
     assert len(jobs) == gop, (len(jobs), gop)
+    # show-existing shards have no pass-B work: their output is the
+    # referenced frame's pixels (vp9.c show_existing_frame path); an
+    # active shard's tensors fill their mesh slot and the filler
+    # output is discarded
+    def _ready_planes(j):
+        if not j.ready:
+            return None      # nothing shown by this packet
+        return [np.asarray(p, np.int32) for p in j.ready[0].planes]
+
+    ready = [j.ready is not None for j in jobs]
+    if all(ready):
+        return [_ready_planes(j) for j in jobs]
+    if any(ready):
+        fill = next(j for j in jobs if j.ready is None)
+        mesh_jobs = [fill if r else j for j, r in zip(jobs, ready)]
+        outs = sharded_decode_pass_b(mesh_jobs, mesh)
+        return [_ready_planes(j) if r else o
+                for j, r, o in zip(jobs, ready, outs)]
     built = [frame_tensors(j) for j in jobs]
+    # scaled refs are per-frame: if ANY gop shard has them, run every
+    # shard through the mixed MC dispatch (scale_nz==0 shards take the
+    # unscaled leg cell-by-cell — bit-exact, vp9recon.c:503-504)
+    if any(c["has_scaled"] for _t, c, _l in built):
+        for t, c, _l in built:
+            if c["has_scaled"]:
+                continue
+            c["has_scaled"] = True
+            nt = c["ntile"]
+            r4c = (c["Hy"] // 4, c["Wpad"] // 4)
+            r4u = (c["Hu"] // 4, c["Wpadu"] // 4)
+            for k in ("s_ay", "s_ax", "s_by", "s_bx", "s_pw", "s_ph"):
+                t[k] = np.zeros((nt,) + r4c, np.int32)
+            for k in ("s_ayu", "s_axu", "s_byu", "s_bxu", "s_pwu",
+                      "s_phu"):
+                t[k] = np.zeros((nt,) + r4u, np.int32)
+            t["mvscales"] = np.zeros((3, 2), np.int32)
+            t["mvsteps"] = np.zeros((3, 2), np.int32)
+            t["scalenz"] = np.zeros(3, np.int32)
+            wd, hd = c["w"], c["hh"]
+            t["refwy"] = np.full(3, wd, np.int32)
+            t["refhy"] = np.full(3, hd, np.int32)
+            t["refwu"] = np.full(3, c["wu"], np.int32)
+            t["refhu"] = np.full(3, c["hhu"], np.int32)
+    # geometry harmonization (dynamic-resize streams): pad every
+    # shard's tensors to the gop-wide max dims; per-frame scalar
+    # geometry (visible dims, block counts) rides as a dynamic "dims"
+    # tensor so ONE executable serves every shard. Only the entropy-
+    # level invariants (bpp / lossless / subsampling / tile count)
+    # must match across the gop axis.
+    reals = []
+    for t, c, _l in built:
+        reals.append((c["Hy"], c["Wpad"], c["Hu"], c["Wpadu"]))
+        t["dims"] = np.asarray(
+            [c.pop("w"), c.pop("hh"), c.pop("wu"), c.pop("hhu"),
+             c.pop("cols"), c.pop("rows")], np.int32)
+    for k in ("Hy", "Wpad", "Hu", "Wpadu"):
+        m = max(c[k] for _t, c, _l in built)
+        for _t, c, _l in built:
+            c[k] = m
+    any_inter = any(c["has_inter"] for _t, c, _l in built)
+    any_lf = any(c["lf"] for _t, c, _l in built)
+    for _t, c, _l in built:
+        c["has_inter"] = any_inter
+        c["lf"] = any_lf
     cfg = built[0][1]
     for _t, c, _l in built[1:]:
         if c != cfg:
-            raise ValueError("gop-sharded frames must share geometry")
+            raise ValueError(
+                "gop-sharded frames must share bpp/lossless/"
+                "subsampling/tile count")
     if cfg["ntile"] != ntile:
         raise ValueError(
             f"stream has {cfg['ntile']} tile cols, mesh wants {ntile}")
@@ -673,37 +821,32 @@ def sharded_decode_pass_b(jobs, mesh):
     y_slabcfg, yslabs = slab_stack(ypacks, cfg["Hy"], cfg["Wpad"])
     uv_slabcfg, uvslabs = slab_stack(uvpacks, cfg["Hu"], cfg["Wpadu"])
 
-    # stack the gop axis; pad LF step counts to the max
+    # stack the gop axis; zero-pad every key to the gop-wide max shape
+    # (LF step counts, ref stacks, and ALL striped tensors when shard
+    # geometries differ -- dynamic-resize streams)
     tensors = {}
-    Smax_y = max(t["ysteps"].shape[1] for t, _c, _l in built)
-    Dmax_y = max(t["ysteps"].shape[2] for t, _c, _l in built)
-    Smax_uv = max(t["uvsteps"].shape[1] for t, _c, _l in built)
-    Dmax_uv = max(t["uvsteps"].shape[2] for t, _c, _l in built)
-
-    def pad_steps(st, S, D):
-        out = np.zeros((st.shape[0], S, D, 7), np.int32)
-        out[:, :st.shape[1], :st.shape[2]] = st
-        return out
-
     for key in built[0][0]:
-        if key == "ysteps":
-            tensors[key] = np.stack(
-                [pad_steps(t[key], Smax_y, Dmax_y)
-                 for t, _c, _l in built])
-        elif key == "uvsteps":
-            tensors[key] = np.stack(
-                [pad_steps(t[key], Smax_uv, Dmax_uv)
-                 for t, _c, _l in built])
-        else:
-            tensors[key] = np.stack([t[key] for t, _c, _l in built])
+        arrs = [t[key] for t, _c, _l in built]
+        tgt = tuple(max(a.shape[d] for a in arrs)
+                    for d in range(arrs[0].ndim))
+        padded = []
+        for a in arrs:
+            if a.shape != tgt:
+                z = np.zeros(tgt, a.dtype)
+                z[tuple(slice(0, d) for d in a.shape)] = a
+                a = z
+            padded.append(a)
+        tensors[key] = np.stack(padded)
     tensors["yslab"] = yslabs
     tensors["uvslab"] = uvslabs
 
     step, names = build_sharded_step(mesh, cfg, (y_slabcfg, uv_slabcfg))
     put = []
+    non_tiled = ("refy", "refu", "refv", "mvscales", "mvsteps",
+                 "scalenz", "refwy", "refhy", "refwu", "refhu", "dims")
     for n in names:
         arr = tensors[n]
-        if n in ("refy", "refu", "refv"):
+        if n in non_tiled:
             spec = P("gop")
         elif arr.ndim == 2:
             spec = P("gop", "tile")
@@ -718,11 +861,12 @@ def sharded_decode_pass_b(jobs, mesh):
     outs = []
     for g, (t, c, _l) in enumerate(built):
         wr, wru = t["wreal"], t["wrealu"]
-        yp = np.concatenate([y[g, i, :, :wr[i]] for i in range(ntile)],
-                            axis=1)
-        up = np.concatenate([u[g, i, :, :wru[i]] for i in range(ntile)],
-                            axis=1)
-        vp = np.concatenate([v[g, i, :, :wru[i]] for i in range(ntile)],
-                            axis=1)
+        Hyr, _Wr, Hur, _Wur = reals[g]   # crop gop-pad rows back off
+        yp = np.concatenate(
+            [y[g, i, :Hyr, :wr[i]] for i in range(ntile)], axis=1)
+        up = np.concatenate(
+            [u[g, i, :Hur, :wru[i]] for i in range(ntile)], axis=1)
+        vp = np.concatenate(
+            [v[g, i, :Hur, :wru[i]] for i in range(ntile)], axis=1)
         outs.append([yp, up, vp])
     return outs

@@ -121,19 +121,41 @@ def test_gop_and_tile_sharded():
     _assert_frames_equal(serial_frames[2], outs[1], "gop f2")
 
 
-def test_sharded_rejects_scaled():
-    path = os.path.join(VEC_DIR, "mini_scaled.ivf")
-    if not os.path.exists(path):
-        pytest.skip("vector corpus not generated")
-    _info, pkts = read_ivf(path)
+def test_sharded_scaled_refs():
+    """Scaled-reference MC in the sharded step (the mixed per-ref
+    dispatch with stripe-offset frame coordinates) vs the serial
+    decode, 2 tile columns + LF on a 2x-upscale inter frame
+    (reference: vp9recon.c:492-628)."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import (encode_keyframe_lossless,
+                                  encode_inter_flex)
+    finally:
+        sys.path.pop(0)
+    import numpy as _np
+    rng = _np.random.RandomState(7)
+    kw, kh = 512, 128
+    kf = encode_keyframe_lossless(
+        rng.randint(0, 256, (kh, kw)),
+        rng.randint(0, 256, (kh // 2, kw // 2)),
+        rng.randint(0, 256, (kh // 2, kw // 2)), 8)
+    f1 = encode_inter_flex(1024, 256, seed=11, refresh_mask=0x00,
+                           coeffs=True, p_intra=0.15,
+                           mv_mags=(0, 2, 8, 24), tile_cols_log2=1,
+                           filter_level=18)
+    ser = VP9Decoder(recon_backend="golden")
     shd = VP9Decoder(recon_backend="golden")
-    mesh = _mesh(1, 1)
-    pkts = list(pkts)
-    jk = shd.decode_pass_a(pkts[0][1])
+    truth = []
+    for d in (kf, f1):
+        js = ser.decode_pass_a(d)
+        ser.decode_pass_b(js)
+        truth.append(js.cur_frame_obj)
+    jk = shd.decode_pass_a(kf)
     shd.decode_pass_b(jk)
-    j = shd.decode_pass_a(pkts[1][1])
-    with pytest.raises(ValueError, match="scaled"):
-        sharded_decode_pass_b([j], mesh)
+    j1 = shd.decode_pass_a(f1)
+    assert any(sc[0] != 0 for sc in j1.mvscale)  # really scaled
+    [planes] = sharded_decode_pass_b([j1], _mesh(1, 2))
+    _assert_frames_equal(truth[1], planes, "scaled inter")
 
 
 def test_sharded_tall_geometry():
@@ -220,22 +242,77 @@ def test_sharded_4tile_wide():
                              f"4tile frame {fi}")
 
 
-def test_gop_geometry_mismatch_clear_error():
-    """Mixed-geometry jobs on the gop axis must be rejected with a
-    clear error (not a shape crash deep in jit)."""
+def test_gop_mixed_geometry():
+    """Mixed frame geometries on the gop axis (dynamic-resize
+    streams): shard tensors pad to the gop-wide max, per-frame dims
+    ride dynamically, outputs crop back — bit-exact vs serial for
+    both shards (one 2x-upscale scaled frame + one unscaled frame in
+    ONE mesh step)."""
     sys.path.insert(0, TOOLS)
     try:
-        from mini_encoder import encode_keyframe_random
+        from mini_encoder import (encode_keyframe_lossless,
+                                  encode_inter_flex)
     finally:
         sys.path.pop(0)
-    ka = encode_keyframe_random(128, 128, seed=27, filter_level=0)
-    kb = encode_keyframe_random(192, 128, seed=28, filter_level=0)
-    da = VP9Decoder(recon_backend="golden")
-    db = VP9Decoder(recon_backend="golden")
-    ja = da.decode_pass_a(ka)
-    jb = db.decode_pass_a(kb)
-    with pytest.raises(ValueError, match="geometry"):
-        sharded_decode_pass_b([ja, jb], _mesh(2, 1))
+    import numpy as _np
+    rng = _np.random.RandomState(9)
+    kw, kh = 512, 128
+    kf = encode_keyframe_lossless(
+        rng.randint(0, 256, (kh, kw)),
+        rng.randint(0, 256, (kh // 2, kw // 2)),
+        rng.randint(0, 256, (kh // 2, kw // 2)), 8)
+    f1 = encode_inter_flex(1024, 256, seed=11, refresh_mask=0x00,
+                           coeffs=True, p_intra=0.15,
+                           mv_mags=(0, 2, 8, 24), tile_cols_log2=1,
+                           filter_level=18)
+    f2 = encode_inter_flex(512, 128, seed=12, refresh_mask=0x00,
+                           coeffs=True, p_intra=0.1,
+                           mv_mags=(0, 4, 16), tile_cols_log2=1,
+                           filter_level=31)
+    ser = VP9Decoder(recon_backend="golden")
+    truth = []
+    for d in (kf, f1, f2):
+        js = ser.decode_pass_a(d)
+        ser.decode_pass_b(js)
+        truth.append(js.cur_frame_obj)
+    shd = VP9Decoder(recon_backend="golden")
+    jk = shd.decode_pass_a(kf)
+    shd.decode_pass_b(jk)
+    j1 = shd.decode_pass_a(f1)
+    j2 = shd.decode_pass_a(f2)
+    outs = sharded_decode_pass_b([j1, j2], _mesh(2, 2))
+    _assert_frames_equal(truth[1], outs[0], "resize shard")
+    _assert_frames_equal(truth[2], outs[1], "same-size shard")
+
+
+def test_gop_show_existing_passthrough():
+    """A show-existing shard on the gop axis passes its referenced
+    frame through while active shards decode normally."""
+    path = os.path.join(VEC_DIR, "show_existing.ivf")
+    if not os.path.exists(path):
+        pytest.skip("vector corpus not generated")
+    from ffmpeg_hybrid_tpu.formats.superframe import split_superframe
+    _info, pkts = read_ivf(path)
+    fds = [fd for pts, d in pkts for _f, fd in split_superframe(d, pts)]
+    ser = VP9Decoder(recon_backend="golden")
+    shd = VP9Decoder(recon_backend="golden")
+    n_shown = 0
+    for fd in fds:
+        js = ser.decode_pass_a(fd)
+        ser.decode_pass_b(js)
+        j = shd.decode_pass_a(fd)
+        [planes] = sharded_decode_pass_b([j], _mesh(1, 1))
+        if j.ready is not None:
+            if not j.ready:
+                continue      # nothing shown by this packet
+            n_shown += 1
+        else:
+            fr = j.cur_frame_obj
+            for i in range(3):
+                fr.planes[i][...] = planes[i]
+        sref = js.ready[0] if js.ready is not None else js.cur_frame_obj
+        _assert_frames_equal(sref, planes, "show-existing stream")
+    assert n_shown >= 1
 
 
 def test_sharded_mxu_mc_matches_serial():
