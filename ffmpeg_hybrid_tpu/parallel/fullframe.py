@@ -738,6 +738,54 @@ def sharded_decode_pass_b(jobs, mesh):
         outs = sharded_decode_pass_b(mesh_jobs, mesh)
         return [_ready_planes(j) if r else o
                 for j, r, o in zip(jobs, ready, outs)]
+    tensors, cfg, slab_cfg, built, reals = prepare_gop_tensors(
+        jobs, ntile)
+
+    step, names = build_sharded_step(mesh, cfg, slab_cfg)
+    put = []
+    for n in names:
+        put.append(jax.device_put(tensors[n],
+                                  NamedSharding(mesh, put_spec(n,
+                                                tensors[n].ndim))))
+    with metrics.timer("sharded.step"):
+        y, u, v = step(*put)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), (y, u, v))
+
+    y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+    outs = []
+    for g, (t, c, _l) in enumerate(built):
+        wr, wru = t["wreal"], t["wrealu"]
+        Hyr, _Wr, Hur, _Wur = reals[g]   # crop gop-pad rows back off
+        yp = np.concatenate(
+            [y[g, i, :Hyr, :wr[i]] for i in range(ntile)], axis=1)
+        up = np.concatenate(
+            [u[g, i, :Hur, :wru[i]] for i in range(ntile)], axis=1)
+        vp = np.concatenate(
+            [v[g, i, :Hur, :wru[i]] for i in range(ntile)], axis=1)
+        outs.append([yp, up, vp])
+    return outs
+
+
+_NON_TILED = ("refy", "refu", "refv", "mvscales", "mvsteps",
+              "scalenz", "refwy", "refhy", "refwu", "refhu", "dims")
+
+
+def put_spec(name, ndim):
+    """PartitionSpec for one prepared gop tensor."""
+    if name in _NON_TILED:
+        return P("gop")
+    if ndim == 2:
+        return P("gop", "tile")
+    return P("gop", "tile", *([None] * (ndim - 2)))
+
+
+def prepare_gop_tensors(jobs, ntile):
+    """Host-side preparation shared by the single-controller driver
+    and the multi-process (multi-controller) mesh path: per-shard
+    frame tensors, scaled-ref promotion, geometry harmonization, slab
+    unification and gop stacking. Returns (tensors, cfg, slab_cfg,
+    built, reals)."""
+    gop = len(jobs)
     built = [frame_tensors(j) for j in jobs]
     # scaled refs are per-frame: if ANY gop shard has them, run every
     # shard through the mixed MC dispatch (scale_nz==0 shards take the
@@ -839,34 +887,4 @@ def sharded_decode_pass_b(jobs, mesh):
         tensors[key] = np.stack(padded)
     tensors["yslab"] = yslabs
     tensors["uvslab"] = uvslabs
-
-    step, names = build_sharded_step(mesh, cfg, (y_slabcfg, uv_slabcfg))
-    put = []
-    non_tiled = ("refy", "refu", "refv", "mvscales", "mvsteps",
-                 "scalenz", "refwy", "refhy", "refwu", "refhu", "dims")
-    for n in names:
-        arr = tensors[n]
-        if n in non_tiled:
-            spec = P("gop")
-        elif arr.ndim == 2:
-            spec = P("gop", "tile")
-        else:
-            spec = P("gop", "tile", *([None] * (arr.ndim - 2)))
-        put.append(jax.device_put(arr, NamedSharding(mesh, spec)))
-    with metrics.timer("sharded.step"):
-        y, u, v = step(*put)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), (y, u, v))
-
-    y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
-    outs = []
-    for g, (t, c, _l) in enumerate(built):
-        wr, wru = t["wreal"], t["wrealu"]
-        Hyr, _Wr, Hur, _Wur = reals[g]   # crop gop-pad rows back off
-        yp = np.concatenate(
-            [y[g, i, :Hyr, :wr[i]] for i in range(ntile)], axis=1)
-        up = np.concatenate(
-            [u[g, i, :Hur, :wru[i]] for i in range(ntile)], axis=1)
-        vp = np.concatenate(
-            [v[g, i, :Hur, :wru[i]] for i in range(ntile)], axis=1)
-        outs.append([yp, up, vp])
-    return outs
+    return tensors, cfg, (y_slabcfg, uv_slabcfg), built, reals
