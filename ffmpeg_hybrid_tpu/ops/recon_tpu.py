@@ -1078,12 +1078,16 @@ def _merged_from_pairs(s):
         return None
     cp_src, ep_src = pairs
     nc, ne = len(cp_src), len(ep_src)
-    cp = np.zeros((_pad_to_bucket(nc + 1, base=1024, mult=2),
+    # np.empty + tail-only -1 fill: rows past the terminator are
+    # dropped by the scatter (pos<0), their value lanes are dead — a
+    # full-buffer zero + full-column -1 fill costs ~1 ms/frame on
+    # dense content for bytes that are never read
+    cp = np.empty((_pad_to_bucket(nc + 1, base=1024, mult=2),
                    cp_src.shape[1]), np.int16)
-    ep = np.zeros((_pad_to_bucket(ne + 1, base=256, mult=2), 3),
+    ep = np.empty((_pad_to_bucket(ne + 1, base=256, mult=2), 3),
                   np.int16)
-    cp[:, 0] = -1
-    ep[:, 0] = -1
+    cp[nc:, 0] = -1
+    ep[ne:, 0] = -1
     cp[:nc] = cp_src
     ep[:ne] = ep_src
     ys, us = s.coef_y.size, s.coef_u.size
