@@ -1,0 +1,112 @@
+"""On-device pass A (ops/passa_device.py): the full keyframe block-
+syntax walk — partition quadtree, seg/skip/tx, context-coupled KF
+intra mode trees, uv mode, and every coefficient block with live nnz
+maintenance — decoded S tile streams in lockstep, bit-exact against
+the host (pure-Python) pass A: block records, the dense coefficient
+planes and the eob grids must all match.
+
+The device executable is geometry-DYNAMIC (one compile serves every
+frame size/tile layout; statics are only seg/txfmmode/lossless/bpp/
+subsampling and output caps) — the first run pays one multi-minute
+XLA compile, cached persistently thereafter.
+
+Reference: vp9block.c:80-923, vp9.c:1115-1193."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from ffmpeg_hybrid_tpu.codecs.vp9.decoder import VP9Decoder, _tile_offset
+from ffmpeg_hybrid_tpu.ops import passa_device as PD
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+def _encode(case):
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random
+    finally:
+        sys.path.pop(0)
+    kw = dict(case)
+    return encode_keyframe_random(
+        kw.pop("w"), kw.pop("h"), kw.pop("bpp", 8), yac_qi=60,
+        filter_level=0, **kw)
+
+
+def _check(pkt):
+    dec = VP9Decoder(recon_backend="golden", use_native=False)
+    s = dec.decode_pass_a(pkt)
+    inputs, meta = PD.prep_keyframe(dec, pkt)
+    blocks, nblk, cpairs, ncp, epairs, nep, err = \
+        PD.decode_keyframe_device(inputs, meta)
+    assert not err.any(), "device walk overflow/error"
+    h = dec.header
+    lanes = []
+    for tr in range(h.tile_rows):
+        r0, r1 = _tile_offset(tr, h.log2_tile_rows, dec.sb_rows)
+        for tc in range(h.tile_cols):
+            c0, c1 = _tile_offset(tc, h.log2_tile_cols, dec.sb_cols)
+            lanes.append((r0, r1, c0, c1))
+    for li, (r0, r1, c0, c1) in enumerate(lanes):
+        gt = [(row, col, b) for row, col, _tcs, b in s.blocks
+              if c0 <= col < c1 and r0 <= row < r1]
+        assert int(nblk[li]) == len(gt), \
+            f"lane {li}: {int(nblk[li])} blocks vs host {len(gt)}"
+        for k, (row, col, b) in enumerate(gt):
+            want = [row, col, b.bs, b.seg_id, b.skip, b.tx] \
+                + list(b.mode) + [b.uvmode, b.uvtx]
+            got = [int(v) for v in blocks[li, k]]
+            assert got == want, f"lane {li} block {k}: {got} != {want}"
+    W64 = dec.sb_cols * 64
+    H64 = dec.sb_rows * 64
+    W64u, H64u = W64 >> h.ss_h, H64 >> h.ss_v
+    ysz, usz = H64 * W64, H64u * W64u
+    dense = np.zeros(ysz + 2 * usz, np.int64)
+    for li in range(len(lanes)):
+        k = int(ncp[li])
+        pos = np.asarray(cpairs[li, :k, 0])
+        dense[pos] = np.asarray(cpairs[li, :k, 1])
+    want = np.concatenate([
+        np.asarray(s.coef_y, np.int64).reshape(-1),
+        np.asarray(s.coef_u, np.int64).reshape(-1),
+        np.asarray(s.coef_v, np.int64).reshape(-1)])
+    bad = np.nonzero(dense != want)[0]
+    assert len(bad) == 0, f"{len(bad)} coef diffs, first {bad[:4]}"
+    c16 = dec.sb_cols * 16
+    c16u = c16 >> h.ss_h
+    eysz, eusz = (H64 // 4) * c16, (H64u // 4) * c16u
+    edense = np.zeros(eysz + 2 * eusz, np.int64)
+    for li in range(len(lanes)):
+        k = int(nep[li])
+        pos = np.asarray(epairs[li, :k, 0])
+        edense[pos] = np.asarray(epairs[li, :k, 1])
+    ewant = np.concatenate([
+        np.asarray(s.eob_y, np.int64).reshape(-1),
+        np.asarray(s.eob_u, np.int64).reshape(-1),
+        np.asarray(s.eob_v, np.int64).reshape(-1)])
+    ebad = np.nonzero(edense != ewant)[0]
+    assert len(ebad) == 0, f"{len(ebad)} eob diffs, first {ebad[:4]}"
+
+
+CASES = [
+    dict(w=128, h=128, seed=2, txfmmode=3),       # all tx sizes
+    dict(w=130, h=70, seed=4, txfmmode=3),        # partial edge SBs
+    dict(w=512, h=128, seed=5, txfmmode=3,
+         tile_cols_log2=1),                       # 2 lockstep lanes
+    dict(w=96, h=64, seed=7, txfmmode=0),         # all-4x4 (per-4x4
+                                                  # mode txtypes)
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"s{c['seed']}")
+def test_device_passa_matches_host(case):
+    _check(_encode(case))
+
+
+def test_device_passa_segmentation():
+    _check(_encode(dict(
+        w=128, h=128, seed=9, txfmmode=3,
+        seg_feat=[(20, 0, -1, 0), (-30, 0, -1, 0), (0, 0, -1, 1),
+                  (40, 0, -1, 0)] + [(0, 0, -1, 0)] * 4)))
