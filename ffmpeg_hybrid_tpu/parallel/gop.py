@@ -16,6 +16,41 @@ overlap on one chip. Across hosts, the same `split_gops` assignment
 drives one process per host (see `decode_gops_md5_multiprocess`, which
 the tests use to emulate N single-chip hosts as separate processes —
 no shared state, output merged by GOP index).
+
+INTRA-GOP cross-device pipelining (design; the sparse-keyframe
+scaling gap). GOP sharding degenerates when keyframes are sparse:
+one gop shard owns a long chained run while others idle. The
+reference's answer is frame threading with row-granular progress
+waits (pthread_frame.c:501 state forwarding + progressframe.h:88-102
+row-await: frame N+1's MC for row r blocks until frame N has decoded
+past r + the refetch border). The mesh-native analogue:
+
+  * assign CONSECUTIVE chained frames to consecutive gop shards;
+    pass A stays frame-serial on the host (probability adaptation is
+    sequential by spec), but pass B pipelines across shards;
+  * split each frame's pass B into horizontal stripes of height Hs
+    and run a software-pipelined schedule: at step k, shard g
+    reconstructs stripe (k - g) of frame N+g; after every step each
+    shard ppermutes its freshly filtered stripe (plus an 8px LF
+    halo) to shard g+1, which uses it as reference rows;
+  * exactness condition: a lag-1 schedule is exact iff frame N+1's
+    MC for stripe j reads frame N rows < (j+1)*Hs - B, where B =
+    max |mv_y|/8 + 4 (8-tap refetch border) + 8 (LF). VP9's spec MV
+    clamp (vp9block.c:175-177) does NOT bound |mv_y| usefully, so
+    the general schedule needs the reference's row-await — on a
+    mesh, a per-stripe `all_gather` of "rows-done" counters and a
+    masked retry for stripes whose dependencies are short. Bounded-
+    MV content (the common case; encoders rarely exceed +-256 px)
+    runs the static lag ceil(B/Hs) schedule with no waits;
+  * the pipeline fills in G steps (G = gop shards) and then yields G
+    stripes per step — steady-state efficiency (S_f)/(S_f + G) for
+    S_f stripes per frame.
+
+Implementation status: the stripe-sharded reconstruction and the
+per-step ppermute halo machinery exist (parallel/fullframe.py runs
+exactly that schedule INSIDE one frame for the cross-tile loop
+filter); the missing piece is the stripe-granular outer schedule and
+ref-row forwarding across the gop axis. Tracked for round 5.
 """
 from __future__ import annotations
 
