@@ -162,11 +162,16 @@ POOL_DEPTH = 8
 class VP9Decoder:
     """Stateful VP9 decoder. decode(packet) -> list of output Frames."""
 
-    def __init__(self, recon_backend="golden", use_native=None):
+    def __init__(self, recon_backend="golden", use_native=None,
+                 pass_a_impl=None):
         if use_native is None:
             from ...passa_native import available
             use_native = available()
         self.use_native = use_native
+        # pass_a_impl="device": keyframe/intra-only frames entropy-
+        # decode ON DEVICE (ops/passa_device lockstep walk); other
+        # frames and unsupported cases fall back to the host path
+        self.pass_a_impl = pass_a_impl
         self.header: Header | None = None
         self.prob_ctx = [None, None, None, None]  # 4 frame contexts
         self.refs: list[Frame | None] = [None] * 8
@@ -681,7 +686,12 @@ class VP9Decoder:
         self.coef_counts = None  # set by the native pass A
         self.coef_pairs = None    # set by the native pass A (TPU mode)
         with metrics.timer("decode.pass_a"):
-            if self.use_native:
+            if (self.pass_a_impl == "device"
+                    and (h.keyframe or h.intraonly)
+                    and not (h.refreshctx and not h.parallelmode)
+                    and not self.use_native):
+                counts = self._decode_tiles_device(data)
+            elif self.use_native:
                 from ...passa_native import decode_tiles_native
                 if self._counts_pool is None:
                     self._counts_pool = [Counts()
@@ -736,6 +746,117 @@ class VP9Decoder:
                 from ...ops import recon_tpu
                 recon_tpu.recon_frame(job)
         return job.outputs
+
+    # ------------------------------------------------------------------
+    def _decode_tiles_device(self, data: bytes) -> Counts:
+        """Pass A via the on-device lockstep walk (ops/passa_device):
+        the device returns block records + coefficient/eob pairs; the
+        host replays the records through record_block + the LF mask
+        builder (no entropy work) and scatters the pairs into the
+        dense planes. Keyframe/intra-only; counts are not produced,
+        so the caller path is gated to streams with no backward
+        adaptation (refreshctx==0 or parallelmode)."""
+        from ...ops import passa_device as PD
+        from .blockdec import ZEROMV, mask_edges
+        h = self.header
+        inputs, meta = PD.prep_keyframe(self, data)
+        blocks, nblk, cpairs, ncp, epairs, nep, err = \
+            PD.decode_keyframe_device(inputs, meta)
+        if err.any():
+            raise ValueError("device pass A buffer overflow")
+        # merge per-lane block lists back into the host's decode
+        # order: tile-row band, then SB row, then tile column, then
+        # within-lane order (vp9.c:1302-1438)
+        lanes = []
+        li = 0
+        for tr in range(h.tile_rows):
+            r0, _r1 = _tile_offset(tr, h.log2_tile_rows, self.sb_rows)
+            for tc in range(h.tile_cols):
+                c0, _c1 = _tile_offset(tc, h.log2_tile_cols,
+                                       self.sb_cols)
+                lanes.append((r0, c0, li))
+                li += 1
+        ordered = []
+        for r0, c0, li in lanes:
+            for k in range(int(nblk[li])):
+                rec = blocks[li, k]
+                ordered.append((r0, int(rec[0]) & ~7, c0, k, li))
+        ordered.sort(key=lambda t: t[:4])
+        td = TileDecoder(self)
+        for r0, _sbrow, c0, k, li in ordered:
+            rec = [int(v) for v in blocks[li, k]]
+            (row, col, bs, seg_id, skip, tx, m0, m1, m2, m3,
+             uvmode, uvtx) = rec
+            b = Block()
+            b.bs, b.bl, b.bp = bs, min(bs // 3, 3), bs - min(bs // 3,
+                                                            3) * 3
+            b.seg_id, b.skip, b.intra = seg_id, skip, 1
+            b.tx, b.uvtx = tx, uvtx
+            b.mode = [m0, m1, m2, m3]
+            b.uvmode = uvmode
+            td.row, td.col, td.row7 = row, col, row & 7
+            td.tile_col_start = c0
+            if h.seg_enabled:
+                bw4 = int(T.BWH_TAB[1, bs, 0])
+                bh4 = int(T.BWH_TAB[1, bs, 1])
+                self.cur_segmap[row:row + bh4, col:col + bw4] = seg_id
+            self.record_block(td, b)
+            if h.filter_level:
+                lvl = int(h.seg_feat[b.seg_id].lflvl[
+                    0, 0 if b.mode[3] == ZEROMV else 1])
+                if lvl > 0:
+                    w4 = int(T.BWH_TAB[1, bs, 0])
+                    h4 = int(T.BWH_TAB[1, bs, 1])
+                    x_end = min(self.cols - col, w4)
+                    y_end = min(self.rows - row, h4)
+                    col7 = col & 7
+                    sbr, sbc = row >> 3, col >> 3
+                    self.lf_level[sbr, sbc,
+                                  (row & 7):(row & 7) + h4,
+                                  col7:col7 + w4] = lvl
+                    mask_edges(self.lf_mask[sbr, sbc, 0], 0, 0,
+                               row & 7, col7, x_end, y_end, 0, 0,
+                               b.tx, False)
+                    if self.ss_h or self.ss_v:
+                        mask_edges(
+                            self.lf_mask[sbr, sbc, 1], self.ss_h,
+                            self.ss_v, row & 7, col7, x_end, y_end,
+                            (self.cols & 7) if (self.cols & 1)
+                            and col + w4 >= self.cols else 0,
+                            (self.rows & 7) if (self.rows & 1)
+                            and row + h4 >= self.rows else 0,
+                            b.uvtx, False)
+        # dense coefficient planes + eob grids from the pair streams
+        W64 = self.sb_cols * 64
+        H64 = self.sb_rows * 64
+        W64u, H64u = W64 >> self.ss_h, H64 >> self.ss_v
+        ysz, usz = H64 * W64, H64u * W64u
+        planes = (self.coef_y.reshape(-1), self.coef_u.reshape(-1),
+                  self.coef_v.reshape(-1))
+        bases = (0, ysz, ysz + usz)
+        for li in range(meta["S"]):
+            k = int(ncp[li])
+            pos = np.asarray(cpairs[li, :k, 0], np.int64)
+            val = np.asarray(cpairs[li, :k, 1])
+            for pi in range(3):
+                hi = bases[pi] + (ysz if pi == 0 else usz)
+                m = (pos >= bases[pi]) & (pos < hi)
+                planes[pi][pos[m] - bases[pi]] = val[m]
+        c16 = self.sb_cols * 16
+        c16u = c16 >> self.ss_h
+        eysz, eusz = (H64 // 4) * c16, (H64u // 4) * c16u
+        egrids = (self.eob_y.reshape(-1), self.eob_u.reshape(-1),
+                  self.eob_v.reshape(-1))
+        ebases = (0, eysz, eysz + eusz)
+        for li in range(meta["S"]):
+            k = int(nep[li])
+            pos = np.asarray(epairs[li, :k, 0], np.int64)
+            val = np.asarray(epairs[li, :k, 1])
+            for pi in range(3):
+                hi = ebases[pi] + (eysz if pi == 0 else eusz)
+                m = (pos >= ebases[pi]) & (pos < hi)
+                egrids[pi][pos[m] - ebases[pi]] = val[m]
+        return td.counts
 
     # ------------------------------------------------------------------
     def _decode_tiles(self, data: bytes) -> Counts:

@@ -110,3 +110,30 @@ def test_device_passa_segmentation():
         w=128, h=128, seed=9, txfmmode=3,
         seg_feat=[(20, 0, -1, 0), (-30, 0, -1, 0), (0, 0, -1, 1),
                   (40, 0, -1, 0)] + [(0, 0, -1, 0)] * 4)))
+
+
+def test_device_passa_e2e_decode():
+    """The integrated path: VP9Decoder(pass_a_impl='device') decodes
+    whole frames (entropy ON DEVICE, recon + loop filter from the
+    replayed records) identical to the host decoder — including
+    nonzero filter_level (mask_edges replay) and 2 tile columns."""
+    import hashlib
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random
+    finally:
+        sys.path.pop(0)
+    for case in (dict(w=130, h=70, seed=4, filter_level=31),
+                 dict(w=512, h=128, seed=5, filter_level=18,
+                      tile_cols_log2=1)):
+        kw = dict(case)
+        w, h = kw.pop("w"), kw.pop("h")
+        pkt = encode_keyframe_random(w, h, 8, txfmmode=3, yac_qi=60,
+                                     **kw)
+        ref = VP9Decoder(recon_backend="golden", use_native=False)
+        [f0] = ref.decode(pkt)
+        dev = VP9Decoder(recon_backend="golden", use_native=False,
+                         pass_a_impl="device")
+        [f1] = dev.decode(pkt)
+        assert (hashlib.md5(f0.to_bytes()).hexdigest()
+                == hashlib.md5(f1.to_bytes()).hexdigest()), case
