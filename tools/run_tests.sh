@@ -21,4 +21,16 @@ if [ "$fail" -ne 0 ]; then
     echo "FAILED: at least one test file red"
     exit 1
 fi
+
+# optional heavyweight leg: the bench clips through the CPU-jax TPU
+# backend (closes the loop the default suite leaves to bench.py's
+# on-chip gate); enable with FULL_TPU_E2E=1
+if [ -n "$FULL_TPU_E2E" ] && [ "$FULL_TPU_E2E" != "0" ]; then
+    echo "=== FULL_TPU_E2E leg (bench clips on CPU-jax)"
+    if ! FULL_TPU_E2E=1 python -m pytest tests/test_tpu_backend.py \
+            -q -k "bench"; then
+        echo "FAILED: FULL_TPU_E2E leg red"
+        exit 1
+    fi
+fi
 echo "ALL GREEN"
