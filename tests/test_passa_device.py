@@ -125,11 +125,12 @@ def test_device_passa_e2e_decode():
         sys.path.pop(0)
     for case in (dict(w=130, h=70, seed=4, filter_level=31),
                  dict(w=512, h=128, seed=5, filter_level=18,
-                      tile_cols_log2=1)):
+                      tile_cols_log2=1),
+                 dict(w=128, h=96, seed=11, filter_level=20, bpp=10)):
         kw = dict(case)
         w, h = kw.pop("w"), kw.pop("h")
-        pkt = encode_keyframe_random(w, h, 8, txfmmode=3, yac_qi=60,
-                                     **kw)
+        pkt = encode_keyframe_random(w, h, kw.pop("bpp", 8),
+                                     txfmmode=3, yac_qi=60, **kw)
         ref = VP9Decoder(recon_backend="golden", use_native=False)
         [f0] = ref.decode(pkt)
         dev = VP9Decoder(recon_backend="golden", use_native=False,
