@@ -171,6 +171,9 @@ class VP9Decoder:
         # pass_a_impl="device": keyframe/intra-only frames entropy-
         # decode ON DEVICE (ops/passa_device lockstep walk); other
         # frames and unsupported cases fall back to the host path
+        if pass_a_impl is None:
+            from ...utils.config import get_config
+            pass_a_impl = get_config().passa_impl
         self.pass_a_impl = pass_a_impl
         self.header: Header | None = None
         self.prob_ctx = [None, None, None, None]  # 4 frame contexts

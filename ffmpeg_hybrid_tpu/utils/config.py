@@ -38,6 +38,10 @@ class Config:
     # measured 1.4x the scan on TPU) / "scan" (lpf_tpu._lf_scan) /
     # None = auto (dense on TPU, scan on CPU).
     lf_impl: Optional[str] = None
+    # pass-A implementation: "device" routes keyframe/intra-only
+    # frames through the on-device lockstep walk (ops/passa_device)
+    # when the decoder runs without the native library; None = host.
+    passa_impl: Optional[str] = None
     # per-stage timing collection (utils/metrics.py; also enabled by
     # metrics.enable())
     metrics: bool = False
@@ -61,6 +65,7 @@ class Config:
         return cls(
             mc_impl=os.environ.get("FFH_MC") or None,
             lf_impl=os.environ.get("FFH_LF") or None,
+            passa_impl=os.environ.get("FFH_PASSA") or None,
             metrics=_env_bool("VP9_METRICS"),
             bench_vec=os.environ.get("BENCH_VEC", "bench_1080p"),
             bench_budget_s=_env_float("BENCH_BUDGET_S", 45.0),
