@@ -296,8 +296,15 @@ def _ensure_pgo_native():
     want = _native_srchash(nat)
     have = None
     if os.path.exists(sidecar) and os.path.exists(stamp):
+        # the stamp records the hash the PGO build was made FROM; a
+        # plain native/build.sh refreshes the sidecar, so trusting the
+        # sidecar alone would silently bench a non-PGO binary
         with open(sidecar) as f:
-            have = f.read().strip()
+            h_sidecar = f.read().strip()
+        with open(stamp) as f:
+            h_stamp = f.read().strip()
+        if h_sidecar == h_stamp:
+            have = h_sidecar
     if os.path.exists(so) and have == want:
         return
     print("[bench] building PGO native library...", file=sys.stderr)
@@ -345,6 +352,11 @@ def main():
 
     extra = {"passes_" + ("4k" if name == "bench_4k" else "1080p"):
              windows,
+             # window spread: tunnel-weather variance spans ±20%, so a
+             # regression is only visible against min/median/max over
+             # >=5 windows (VERDICT r4 weak #5)
+             "fps_min": round(min(windows), 3) if windows else 0.0,
+             "fps_max": round(max(windows), 3) if windows else 0.0,
              "bitexact": bitexact,
              "verified": bitexact is not None}
 

@@ -65,8 +65,11 @@ def main(argv=None):
         description="TPU-native VP9 decoder")
     ap.add_argument("input", help="input .ivf / .webm")
     ap.add_argument("-f", "--format", default="framemd5",
-                    choices=["framemd5", "y4m", "rawvideo", "null"],
-                    help="output format (default framemd5)")
+                    choices=["framemd5", "y4m", "rawvideo", "null",
+                             "encparams"],
+                    help="output format (default framemd5; encparams "
+                         "dumps per-frame encode-parameters side data "
+                         "in the venc_data_dump format)")
     ap.add_argument("-o", "--output", default="-",
                     help="output file (default stdout)")
     ap.add_argument("-b", "--backend", default="golden",
@@ -89,7 +92,8 @@ def main(argv=None):
     from .codecs.vp9.decoder import VP9Decoder
 
     dec = VP9Decoder(recon_backend=args.backend,
-                     use_native=not args.no_native)
+                     use_native=not args.no_native,
+                     export_enc_params=args.format == "encparams")
     _info, pkts = _open_packets(args.input)
     if args.bsf:
         from .formats.bsf import apply_bsf_chain
@@ -158,6 +162,9 @@ def main(argv=None):
                 out.write(f.to_bytes())
             elif args.format == "rawvideo":
                 out.write(f.to_bytes())
+            elif args.format == "encparams":
+                from .codecs.vp9.encparams import format_enc_params
+                out.write(format_enc_params(n, f.enc_params))
             n += 1
             if args.frames and n >= args.frames:
                 break

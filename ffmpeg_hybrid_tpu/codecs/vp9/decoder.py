@@ -84,6 +84,10 @@ class Frame:
         # are synced lazily on first pixel access)
         self.dev = None
         self._host_stale = False
+        # encode-params side data (set when the decoder was opened with
+        # export_enc_params; show-existing re-outputs the donor frame's
+        # data, matching av_frame_ref side-data copy semantics)
+        self.enc_params = None
 
     def sync_host(self):
         if self._host_stale and self.dev is not None:
@@ -163,7 +167,11 @@ class VP9Decoder:
     """Stateful VP9 decoder. decode(packet) -> list of output Frames."""
 
     def __init__(self, recon_backend="golden", use_native=None,
-                 pass_a_impl=None):
+                 pass_a_impl=None, export_enc_params=False):
+        # AV_CODEC_EXPORT_DATA_VIDEO_ENC_PARAMS equivalent: attach a
+        # per-frame enc-params snapshot to each output Frame
+        # (reference: vp9.c:1554-1604, vp9.c:1836-1839)
+        self.export_enc_params = export_enc_params
         if use_native is None:
             from ...passa_native import available
             use_native = available()
@@ -692,6 +700,12 @@ class VP9Decoder:
             if (self.pass_a_impl == "device"
                     and (h.keyframe or h.intraonly)
                     and not (h.refreshctx and not h.parallelmode)
+                    # the device walk gives each tile-row lane its own
+                    # zeroed above ctx; the reference zeroes it once
+                    # per frame and carries it ACROSS tile rows
+                    # (vp9.c:1720), so multi-tile-row streams must use
+                    # the host path until lane forwarding exists
+                    and h.tile_rows == 1
                     and not self.use_native):
                 counts = self._decode_tiles_device(data)
             elif self.use_native:
@@ -711,6 +725,10 @@ class VP9Decoder:
             with metrics.timer("decode.adapt_probs"):
                 adapt_probs(self.prob_ctx[c], self.probs, counts, h,
                             self.last_keyframe)
+
+        if self.export_enc_params:
+            from .encparams import build_enc_params
+            self.cur_frame_obj.enc_params = build_enc_params(self)
 
         # snapshot everything pass B reads (pass A of the next frame
         # mutates decoder state while pass B of this one may still run)

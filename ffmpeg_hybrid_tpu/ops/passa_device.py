@@ -308,12 +308,16 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
     (flat eob-grid pos with plane base, count)."""
     S = meta["S"]
     rows, cols = meta["rows"], meta["cols"]
+    ss_hv = meta["ss_h"] + meta["ss_v"]
     if bmax is None:
         bmax = rows * cols + 64
     if cmax is None:
         cmax = rows * cols * 16 * 24 + 1024
     if emax is None:
-        emax = rows * cols * 6 + 256
+        # tx4-dense bound: 4 luma cells per b8 plus 2 chroma planes of
+        # 4 >> (ss_h+ss_v) cells each (4:2:0 -> 6, 4:2:2/4:4:0 -> 8,
+        # 4:4:4 -> 12 cells per b8)
+        emax = rows * cols * (4 + 2 * (4 >> ss_hv)) + 256
     def bucket(n, base=256):
         b = base
         while b < n:
@@ -322,6 +326,11 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
     bmax = bucket(bmax)
     cmax = bucket(cmax, 4096)
     emax = bucket(emax, 1024)
+    # ctx-array width: bucketed so common frame sizes share one
+    # executable (geometry stays dynamic); wider frames get their own
+    maxc = MAXC
+    while maxc < cols:
+        maxc *= 2
     Lh = bucket(inputs["half16"].shape[1], 512)
     h16 = np.zeros((meta["S"], Lh), np.int32)
     h16[:, :inputs["half16"].shape[1]] = inputs["half16"]
@@ -337,21 +346,22 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
         seg=meta["seg"],
         txfmmode=meta["txfmmode"], lossless=meta["lossless"],
         bpp=meta["bpp"], ss_h=meta["ss_h"], ss_v=meta["ss_v"],
-        bmax=bmax, cmax=cmax, emax=emax)
+        bmax=bmax, cmax=cmax, emax=emax, maxc=maxc)
     return [np.asarray(o) for o in out]
 
 
-MAXC = 264        # max frame cols (b8) the fixed ctx arrays cover
+MAXC = 264        # base ctx-array width bucket (b8 cols); doubled as
+                  # needed per frame geometry (static arg `maxc`)
 
 
 @partial(jax.jit, static_argnames=("seg", "txfmmode",
                                    "lossless", "bpp", "ss_h", "ss_v",
-                                   "bmax", "cmax", "emax"))
+                                   "bmax", "cmax", "emax", "maxc"))
 def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                 coef11, qmul, skipseg, segprob, scans, nbs,
                 rows, cols, sb_cols,
                 seg, txfmmode, lossless, bpp, ss_h, ss_v,
-                bmax, cmax, emax):
+                bmax, cmax, emax, maxc=MAXC):
     S = bounds.shape[0]
     lane = jnp.arange(S)
     big = jnp.int32(1 << 20)
@@ -404,12 +414,12 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         b_modes=jnp.zeros((S, 4), jnp.int32),
         b_uvmode=jnp.zeros((S,), jnp.int32),
         # above ctx (frame-absolute col indexing, per lane)
-        a_part=jnp.zeros((S, MAXC + 8), jnp.int32),
-        a_skip=jnp.zeros((S, MAXC + 8), jnp.int32),
-        a_txfm=jnp.zeros((S, MAXC + 8), jnp.int32),
-        a_mode=jnp.full((S, 2 * MAXC + 16), 2, jnp.int32),  # DC_PRED
-        a_ynnz=jnp.zeros((S, 2 * MAXC + 16), jnp.int32),
-        a_unnz=jnp.zeros((S, 2, 2 * MAXC + 16), jnp.int32),
+        a_part=jnp.zeros((S, maxc + 8), jnp.int32),
+        a_skip=jnp.zeros((S, maxc + 8), jnp.int32),
+        a_txfm=jnp.zeros((S, maxc + 8), jnp.int32),
+        a_mode=jnp.full((S, 2 * maxc + 16), 2, jnp.int32),  # DC_PRED
+        a_ynnz=jnp.zeros((S, 2 * maxc + 16), jnp.int32),
+        a_unnz=jnp.zeros((S, 2, 2 * maxc + 16), jnp.int32),
         # left ctx (per SB row)
         l_part=jnp.zeros((S, 8), jnp.int32),
         l_skip=jnp.zeros((S, 8), jnp.int32),

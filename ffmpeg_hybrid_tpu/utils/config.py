@@ -48,8 +48,8 @@ class Config:
 
     # ---- bench.py ----
     bench_vec: str = "bench_1080p"        # primary clip
-    bench_budget_s: float = 45.0          # timed-window budget
-    bench_trials: int = 3                 # windows (median reported)
+    bench_budget_s: float = 75.0          # timed-window budget
+    bench_trials: int = 5                 # windows (median reported)
     bench_guard_s: float = 2400.0         # wall guard before 4K leg
     bench_verify_frames: int = 30         # conformance-gate frames
     bench_verify_frames_4k: int = 12
@@ -68,8 +68,8 @@ class Config:
             passa_impl=os.environ.get("FFH_PASSA") or None,
             metrics=_env_bool("VP9_METRICS"),
             bench_vec=os.environ.get("BENCH_VEC", "bench_1080p"),
-            bench_budget_s=_env_float("BENCH_BUDGET_S", 45.0),
-            bench_trials=_env_int("BENCH_TRIALS", 3),
+            bench_budget_s=_env_float("BENCH_BUDGET_S", 75.0),
+            bench_trials=_env_int("BENCH_TRIALS", 5),
             bench_guard_s=_env_float("BENCH_GUARD_S", 2400.0),
             bench_verify_frames=_env_int("BENCH_VERIFY_FRAMES", 30),
             bench_verify_frames_4k=_env_int("BENCH_VERIFY_FRAMES_4K",

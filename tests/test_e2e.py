@@ -40,6 +40,9 @@ MINI = ["mini_gray_64", "mini_gray_130x70", "mini_gray10_128x72",
         "mini_seg_128x72", "mini_seg_130x70",
         "mini_rand_130x70", "mini_rand10_96x64", "mini_rand10_tx4_64",
         "mini_rand12_130x70", "mini_rand12_444_64", "mini_rand_252q_64",
+        # TX_SWITCHABLE (txfmmode=4): per-block tx-size coding
+        "mini_randsw_130x70", "mini_randsw10_96x64",
+        "mini_randsw12_444_64",
         "mini_inter_mv", "mini_scaled_mv_up", "mini_scaled_mv_dn",
         "mini_scaled_mv_odd", "mini_seg_temporal",
         # flat-prob flex vectors: compound prediction, switchable/bilinear/

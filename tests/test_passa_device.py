@@ -97,12 +97,45 @@ CASES = [
          tile_cols_log2=1),                       # 2 lockstep lanes
     dict(w=96, h=64, seed=7, txfmmode=0),         # all-4x4 (per-4x4
                                                   # mode txtypes)
+    dict(w=128, h=128, seed=41, txfmmode=4),      # TX_SWITCHABLE:
+                                                  # per-block tx ladder
+    dict(w=130, h=70, seed=42, txfmmode=4),       # switchable + edges
 ]
 
 
 @pytest.mark.parametrize("case", CASES, ids=lambda c: f"s{c['seed']}")
 def test_device_passa_matches_host(case):
     _check(_encode(case))
+
+
+def test_device_passa_wide_frame():
+    """Frames wider than the base ctx bucket (264 b8 cols = 2112 px)
+    select a doubled `maxc` executable instead of silently dropping
+    ctx writes past the array end (advisor r4 finding)."""
+    _check(_encode(dict(w=2240, h=64, seed=13, txfmmode=3)))
+
+
+def test_device_passa_tile_rows_fallback():
+    """tile_rows > 1: the walk gives each tile-row lane independent
+    zeroed above ctx, but the reference carries above ctx across tile
+    rows (vp9.c:1720) — the integrated decoder must fall back to the
+    host pass A and still decode bit-exact (advisor r4 finding)."""
+    import hashlib
+    sys.path.insert(0, TOOLS)
+    try:
+        from mini_encoder import encode_keyframe_random
+    finally:
+        sys.path.pop(0)
+    pkt = encode_keyframe_random(128, 256, 8, seed=21, txfmmode=3,
+                                 yac_qi=60, filter_level=12,
+                                 tile_rows_log2=1)
+    ref = VP9Decoder(recon_backend="golden", use_native=False)
+    [f0] = ref.decode(pkt)
+    dev = VP9Decoder(recon_backend="golden", use_native=False,
+                     pass_a_impl="device")
+    [f1] = dev.decode(pkt)
+    assert (hashlib.md5(f0.to_bytes()).hexdigest()
+            == hashlib.md5(f1.to_bytes()).hexdigest())
 
 
 def test_device_passa_segmentation():

@@ -697,10 +697,20 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
                        seg_abs=seg_abs, lf_deltas=lf_deltas)
     c = BoolEncoder()
     c.put(0, 128)                       # marker
-    c.put((txfmmode >> 1) & 1, 128)     # txfmmode (2-bit literal)
-    c.put(txfmmode & 1, 128)
-    if txfmmode == 3:
-        c.put(0, 128)                   # not switchable
+    if txfmmode >= 3:
+        # 2-bit literal 3, then the switchable bit (vp9.c txfmmode
+        # read: get_uint(2) == 3 -> one more bit selects SWITCHABLE)
+        c.put(1, 128)
+        c.put(1, 128)
+        c.put(1 if txfmmode == 4 else 0, 128)
+    else:
+        c.put((txfmmode >> 1) & 1, 128)  # txfmmode (2-bit literal)
+        c.put(txfmmode & 1, 128)
+    if txfmmode == 4:
+        # TX_SWITCHABLE: tx8p/tx16p/tx32p update gates, all "keep"
+        # (2 + 4 + 6 gate bits at prob 252; header.py:412-425)
+        for _ in range(2 + 4 + 6):
+            c.put(0, 252)
     for i in range(4):
         c.put(0, 128)                   # no coef prob updates for tx i
         if txfmmode == i:
@@ -722,13 +732,16 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
 
     above_part = np.zeros(sb_cols * 8, np.uint8)
     above_skip = np.zeros(sb_cols * 8, np.uint8)
+    above_txfm = np.zeros(sb_cols * 8, np.uint8)
     above_mode = np.full(sb_cols * 16, 2, np.uint8)   # DC_PRED
     a_ynnz = np.zeros(sb_cols * 16, np.uint8)
     a_uvnnz = np.zeros((2, sb_cols * 16), np.uint8)
     left = {"part": np.zeros(8, np.uint8), "skip": np.zeros(8, np.uint8),
+            "txfm": np.zeros(8, np.uint8),
             "mode": np.full(16, 2, np.uint8),
             "ynnz": np.zeros(16, np.uint8),
             "uvnnz": np.zeros((2, 16), np.uint8)}
+    tile_c0 = 0   # tile col start of the tile being encoded (have_l)
 
     def rand_tokens(sz):
         n = sz * sz
@@ -787,7 +800,49 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
             skip = bool(rng.rand() < 0.15)
             sctx = int(left["skip"][row7]) + int(above_skip[ccol])
             t.put(1 if skip else 0, int(T.PROBS_SKIP[sctx]))
-        tx = min(MAX_TX_FOR_BL_BP[bs], txfmmode)
+        if txfmmode == 4:
+            # TX_SWITCHABLE: per-block tx size via the context-coded
+            # ladder (vp9block.c:171-215; keyframes are all-intra so
+            # tx is coded even for skip blocks). Ctx reads the
+            # NEIGHBORS' skip/txfm state (pre-splat).
+            max_tx = MAX_TX_FOR_BL_BP[bs]
+            have_a = r > 0
+            have_l = ccol > tile_c0
+            if have_a:
+                if have_l:
+                    a_t = max_tx if above_skip[ccol] else \
+                        int(above_txfm[ccol])
+                    l_t = max_tx if left["skip"][row7] else \
+                        int(left["txfm"][row7])
+                    ctx = int(a_t + l_t > max_tx)
+                else:
+                    ctx = 1 if above_skip[ccol] else \
+                        int(int(above_txfm[ccol]) * 2 > max_tx)
+            elif have_l:
+                ctx = 1 if left["skip"][row7] else \
+                    int(int(left["txfm"][row7]) * 2 > max_tx)
+            else:
+                ctx = 1
+            tx = int(rng.randint(0, max_tx + 1))
+            if max_tx == 3:
+                t.put(1 if tx > 0 else 0, int(T.PROBS_TX32P[ctx][0]))
+                if tx > 0:
+                    t.put(1 if tx > 1 else 0,
+                          int(T.PROBS_TX32P[ctx][1]))
+                    if tx > 1:
+                        t.put(1 if tx > 2 else 0,
+                              int(T.PROBS_TX32P[ctx][2]))
+            elif max_tx == 2:
+                t.put(1 if tx > 0 else 0, int(T.PROBS_TX16P[ctx][0]))
+                if tx > 0:
+                    t.put(1 if tx > 1 else 0,
+                          int(T.PROBS_TX16P[ctx][1]))
+            elif max_tx == 1:
+                t.put(tx, int(T.PROBS_TX8P[ctx]))
+            else:
+                tx = 0
+        else:
+            tx = min(MAX_TX_FOR_BL_BP[bs], txfmmode)
         # y mode (kf tree, above/left mode ctx; >=8x8 path of
         # vp9block.c:217-270)
         a0m = ccol * 2
@@ -829,8 +884,10 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
                     end_xu, end_yu, w4 >> ss_h, h4 >> ss_v)
         above_skip[ccol:ccol + nw] = 1 if skip else 0
         above_part[ccol:ccol + nw] = ABOVE_CTX[bs]
+        above_txfm[ccol:ccol + nw] = tx
         left["skip"][row7:row7 + nh] = 1 if skip else 0
         left["part"][row7:row7 + nh] = LEFT_CTX[bs]
+        left["txfm"][row7:row7 + nh] = tx
 
     def encode_sb(r, ccol, bl):
         ctx = ((int(above_part[ccol]) >> (3 - bl)) & 1) |               (((int(left["part"][r & 7]) >> (3 - bl)) & 1) << 1)
@@ -891,6 +948,7 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
         for tc in range(1 << lc):
             c0 = min((tc * sb_cols) >> lc, sb_cols) * 8
             c1 = min(((tc + 1) * sb_cols) >> lc, sb_cols) * 8
+            tile_c0 = c0
             t = BoolEncoder()
             t.put(0, 128)
             ce = CoeffEncoder(t, bpp)
@@ -992,6 +1050,12 @@ def main():
         ("mini_rand12_130x70", 130, 70, 12, 3, 1, 1, 90, 40, 3),
         ("mini_rand12_444_64", 64, 64, 12, 2, 0, 0, 50, 10, 4),
         ("mini_rand_252q_64", 64, 64, 8, 3, 1, 1, 252, 63, 5),
+        # TX_SWITCHABLE: per-block tx size via the context-coded
+        # ladder (vp9block.c:171-215) — previously unreachable through
+        # this encoder (VERDICT r4 missing #5)
+        ("mini_randsw_130x70", 130, 70, 8, 4, 1, 1, 60, 24, 41),
+        ("mini_randsw10_96x64", 96, 64, 10, 4, 1, 1, 80, 20, 43),
+        ("mini_randsw12_444_64", 64, 64, 12, 4, 0, 0, 70, 12, 44),
     ]
     for (name, w, h, bpp, txm, ssh, ssv, qi, flt, seed) in rand_specs:
         pkt = encode_keyframe_random(w, h, bpp, seed=seed, txfmmode=txm,
