@@ -699,7 +699,6 @@ class VP9Decoder:
         with metrics.timer("decode.pass_a"):
             if (self.pass_a_impl == "device"
                     and (h.keyframe or h.intraonly)
-                    and not (h.refreshctx and not h.parallelmode)
                     # the device walk gives each tile-row lane its own
                     # zeroed above ctx; the reference zeroes it once
                     # per frame and carries it ACROSS tile rows
@@ -721,6 +720,7 @@ class VP9Decoder:
                 counts = self._decode_tiles(tile_data)
 
         # backward probability adaptation (reference: vp9.c:1821-1824)
+        self.last_counts = counts
         if h.refreshctx and not h.parallelmode:
             with metrics.timer("decode.adapt_probs"):
                 adapt_probs(self.prob_ctx[c], self.probs, counts, h,
@@ -774,14 +774,16 @@ class VP9Decoder:
         the device returns block records + coefficient/eob pairs; the
         host replays the records through record_block + the LF mask
         builder (no entropy work) and scatters the pairs into the
-        dense planes. Keyframe/intra-only; counts are not produced,
-        so the caller path is gated to streams with no backward
-        adaptation (refreshctx==0 or parallelmode)."""
+        dense planes. Keyframe/intra-only; when backward adaptation
+        will run, the walk also emits per-lane coef/eob symbol counts
+        (the only counts keyframe adaptation consumes —
+        vp9prob.c:48-66 adapts coefficients, then copies skip/tx from
+        the forward probs)."""
         from ...ops import passa_device as PD
         from .blockdec import ZEROMV, mask_edges
         h = self.header
         inputs, meta = PD.prep_keyframe(self, data)
-        blocks, nblk, cpairs, ncp, epairs, nep, err = \
+        blocks, nblk, cpairs, ncp, epairs, nep, cnts, err = \
             PD.decode_keyframe_device(inputs, meta)
         if err.any():
             raise ValueError("device pass A buffer overflow")
@@ -877,6 +879,8 @@ class VP9Decoder:
                 hi = ebases[pi] + (eysz if pi == 0 else eusz)
                 m = (pos >= ebases[pi]) & (pos < hi)
                 egrids[pi][pos[m] - ebases[pi]] = val[m]
+        if meta.get("want_counts"):
+            PD.counts_from_device(cnts, td.counts)
         return td.counts
 
     # ------------------------------------------------------------------

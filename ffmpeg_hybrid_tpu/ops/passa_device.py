@@ -97,6 +97,31 @@ def _tree_arrays(tree):
 _PTREE, _PDEPTH = _tree_arrays(T.PARTITION_TREE)
 _MTREE, _MDEPTH = _tree_arrays(T.INTRAMODE_TREE)
 _STREE, _SDEPTH = _tree_arrays(T.SEGMENTATION_TREE)
+_IMTREE, _IMDEPTH = _tree_arrays(T.INTER_MODE_TREE)
+_FTREE, _FDEPTH = _tree_arrays(T.FILTER_TREE)
+_JTREE, _JDEPTH = _tree_arrays(T.MV_JOINT_TREE)
+_CLTREE, _CLDEPTH = _tree_arrays(T.MV_CLASS_TREE)
+_FPTREE, _FPDEPTH = _tree_arrays(T.MV_FP_TREE)
+_SZGROUP = np.asarray([3, 3, 3, 3, 2, 2, 2, 1, 1, 1, 0, 0, 0], np.int32)
+_FLUT = np.asarray(T.FILTER_LUT, np.int32)
+
+# find_ref_mvs candidate schedule (vp9mvs.c:37-234): a fixed slot list
+# walked by one rolled fori_loop per scan. kinds: 0=direct sub-block
+# mv, 1=above-ctx mv, 2=left-ctx mv, 3=spatial same-ref neighbor,
+# 4=temporal same-ref, 5/6=spatial different-ref (first/second mv of
+# the neighbor), 7/8=temporal different-ref (first/second mv).
+_SLOT_KIND = np.asarray(
+    [0, 0, 0, 1, 2] + [3] * 8 + [4]
+    + [v for i in range(8) for v in (5, 6)] + [7, 8], np.int32)
+_SLOT_PAR = np.asarray(
+    [2, 1, 0, 0, 0] + list(range(8)) + [0]
+    + [i for i in range(8) for _ in (0, 1)] + [0, 0], np.int32)
+_NSLOTS = len(_SLOT_KIND)
+
+
+def _mv_ref_blk_off():
+    from ..codecs.vp9.mvs import MV_REF_BLK_OFF
+    return np.asarray(MV_REF_BLK_OFF, np.int32)   # [13][8][(col,row)]
 
 _CAT6_8 = [254, 254, 254, 252, 249, 243, 230, 196, 177, 153,
            140, 133, 130, 129]
@@ -213,6 +238,90 @@ def prep_keyframe(dec, data):
     from .rac_pallas import pack_windows, snapshot_to_state
     h = dec.header
     assert h.keyframe or h.intraonly
+    return _prep_common(dec, data, BoolDecoder, pack_windows,
+                        snapshot_to_state)
+
+
+def prep_inter(dec, data):
+    """Host prep for a NON-intra frame: everything prep_keyframe packs
+    plus the inter-frame probability set, the previous frame's MV/ref/
+    segmentation grids, and the header scalars the inter syntax reads
+    (comp-pred mode, ref sign biases, interp filter mode, hp flag —
+    vp9block.c:331-802, vp9mvs.c)."""
+    from ..codecs.vp9.rac import BoolDecoder
+    from .rac_pallas import pack_windows, snapshot_to_state
+    h = dec.header
+    assert not (h.keyframe or h.intraonly)
+    inputs, meta = _prep_common(dec, data, BoolDecoder, pack_windows,
+                                snapshot_to_state)
+    p = dec.probs
+    rows, cols = dec.rows, dec.cols
+    gmax = 1024
+    while gmax < rows * cols:
+        gmax *= 2
+    prev_mv = np.zeros((gmax, 2, 2), np.int32)
+    prev_ref = np.full((gmax, 2), -1, np.int32)
+    prev_seg = np.zeros(gmax, np.int32)
+    use_prev = int(h.use_last_frame_mvs and dec.prev_mv is not None)
+    if use_prev:
+        prev_mv[:rows * cols] = np.asarray(
+            dec.prev_mv[:rows, :cols], np.int32).reshape(-1, 2, 2)
+        prev_ref[:rows * cols] = np.asarray(
+            dec.prev_ref[:rows, :cols], np.int32).reshape(-1, 2)
+    have_prevseg = int(not h.errorres and dec.prev_segmap is not None)
+    if have_prevseg:
+        prev_seg[:rows * cols] = np.asarray(
+            dec.prev_segmap[:rows, :cols], np.int32).reshape(-1)
+    segf = h.seg_feat
+    refseg_en = np.zeros(8, np.int32)
+    refseg_val = np.zeros(8, np.int32)
+    for sid in range(8):
+        refseg_en[sid] = int(h.seg_enabled and segf[sid].ref_enabled)
+        refseg_val[sid] = int(segf[sid].ref_val)
+    # traced header scalars (data operands only, so one executable
+    # serves every combination)
+    hflags = np.asarray([
+        int(h.seg_enabled), int(h.seg_update_map), int(h.seg_temporal),
+        have_prevseg, int(h.comppredmode), int(h.fixcompref),
+        int(h.varcompref[0]), int(h.varcompref[1]),
+        int(h.signbias[0]), int(h.signbias[1]), int(h.signbias[2]),
+        int(h.filtermode), int(h.highprecisionmvs), use_prev,
+    ], np.int32)
+    coef11_full = np.asarray(dec.coef11, np.int32) \
+        .reshape(4, 2, 2, 6, 6, 11).reshape(16, 36, 11)
+    inputs["aux"] = dict(
+        coef11i=coef11_full,
+        prev_mv=prev_mv, prev_ref=prev_ref, prev_seg=prev_seg,
+        hflags=hflags,
+        refseg_en=refseg_en, refseg_val=refseg_val,
+        segpredp=np.asarray(h.seg_pred_prob, np.int32),
+        partp=np.asarray(p.partition, np.int32),
+        intrap=np.asarray(p.intra, np.int32),
+        compp=np.asarray(p.comp, np.int32),
+        comprefp=np.asarray(p.comp_ref, np.int32),
+        singlerefp=np.asarray(p.single_ref, np.int32),
+        ymodep=np.asarray(p.y_mode, np.int32),
+        uvmodep=np.asarray(p.uv_mode, np.int32),
+        mvmodep=np.asarray(p.mv_mode, np.int32),
+        filterp=np.asarray(p.filter, np.int32),
+        mvjointp=np.asarray(p.mv_joint, np.int32),
+        mvsignp=np.asarray(p.mv_sign, np.int32),
+        mvclassesp=np.asarray(p.mv_classes, np.int32),
+        mvclass0p=np.asarray(p.mv_class0, np.int32),
+        mvbitsp=np.asarray(p.mv_bits, np.int32),
+        mvc0fpp=np.asarray(p.mv_class0_fp, np.int32),
+        mvfpp=np.asarray(p.mv_fp, np.int32),
+        mvc0hpp=np.asarray(p.mv_class0_hp, np.int32),
+        mvhpp=np.asarray(p.mv_hp, np.int32),
+    )
+    meta["inter"] = 1
+    meta["gmax"] = gmax
+    return inputs, meta
+
+
+def _prep_common(dec, data, BoolDecoder, pack_windows,
+                 snapshot_to_state):
+    h = dec.header
     tile_data = data[h.uncompressed_header_size
                      + h.compressed_header_size:]
     size = len(tile_data)
@@ -276,7 +385,10 @@ def prep_keyframe(dec, data):
                 seg=int(h.seg_enabled and h.seg_update_map),
                 txfmmode=int(h.txfmmode), lossless=int(h.lossless),
                 bpp=int(h.bpp), ss_h=int(h.ss_h), ss_v=int(h.ss_v),
-                sb_cols=dec.sb_cols)
+                sb_cols=dec.sb_cols,
+                # backward adaptation consumes symbol counts
+                # (vp9.c:1821-1824); emit them only when it will run
+                want_counts=int(h.refreshctx and not h.parallelmode))
     return inputs, meta
 
 
@@ -301,11 +413,13 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
                            emax=None):
     """Run the full keyframe pass A on device. Returns numpy outputs:
     (blocks [S, bmax, 12], nblk [S], cpairs [S, cmax, 2], ncp [S],
-    epairs [S, emax, 2], nep [S]).
+    epairs [S, emax, 2], nep [S], counts [S, CNT_TOTAL], err [S]).
 
     blocks rows: (row, col, bs, seg, skip, tx, m0, m1, m2, m3, uvmode,
     uvtx). cpairs: (flat plane pos with plane base, value). epairs:
-    (flat eob-grid pos with plane base, count)."""
+    (flat eob-grid pos with plane base, count). counts: per-lane
+    flattened symbol counts (coef at CNT_COEF, eob at CNT_EOB; all
+    zeros unless meta['want_counts'])."""
     S = meta["S"]
     rows, cols = meta["rows"], meta["cols"]
     ss_hv = meta["ss_h"] + meta["ss_v"]
@@ -346,22 +460,57 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
         seg=meta["seg"],
         txfmmode=meta["txfmmode"], lossless=meta["lossless"],
         bpp=meta["bpp"], ss_h=meta["ss_h"], ss_v=meta["ss_v"],
-        bmax=bmax, cmax=cmax, emax=emax, maxc=maxc)
+        bmax=bmax, cmax=cmax, emax=emax, maxc=maxc,
+        want_counts=meta.get("want_counts", 0))
     return [np.asarray(o) for o in out]
 
 
 MAXC = 264        # base ctx-array width bucket (b8 cols); doubled as
                   # needed per frame geometry (static arg `maxc`)
 
+# flattened per-lane symbol-count layout mirroring codecs/vp9/counts.py
+# (the full vp9prob.c count taxonomy); merged across lanes on the host
+# (the vp9.c:1816-1819 tile merge)
+_CNT_SPEC = [
+    ("y_mode", (4, 10)), ("uv_mode", (10, 10)), ("filter", (4, 3)),
+    ("mv_mode", (7, 4)), ("intra", (4, 2)), ("comp", (5, 2)),
+    ("single_ref", (5, 2, 2)), ("comp_ref", (5, 2)),
+    ("tx32p", (2, 4)), ("tx16p", (2, 3)), ("tx8p", (2, 2)),
+    ("skip", (3, 2)), ("mv_joint", (4,)), ("partition", (4, 4, 4)),
+    ("coef", (4, 2, 2, 6, 6, 3)), ("eob", (4, 2, 2, 6, 6, 2)),
+    ("mv_sign", (2, 2)), ("mv_classes", (2, 11)),
+    ("mv_class0", (2, 2)), ("mv_bits", (2, 10, 2)),
+    ("mv_class0_fp", (2, 2, 4)), ("mv_fp", (2, 4)),
+    ("mv_class0_hp", (2, 2)), ("mv_hp", (2, 2)),
+]
+CNT_OFF = {}
+_o = 0
+for _n, _sh in _CNT_SPEC:
+    CNT_OFF[_n] = _o
+    _o += int(np.prod(_sh))
+CNT_TOTAL = _o
+CNT_COEF = CNT_OFF["coef"]
+CNT_EOB = CNT_OFF["eob"]
+
+
+def counts_from_device(cnt_lanes, out):
+    """Sum per-lane device counts into a Counts object (in place)."""
+    tot = np.asarray(cnt_lanes, np.int64).sum(axis=0)
+    for n, sh in _CNT_SPEC:
+        o = CNT_OFF[n]
+        getattr(out, n)[...] = tot[o:o + int(np.prod(sh))].reshape(sh)
+    return out
+
 
 @partial(jax.jit, static_argnames=("seg", "txfmmode",
                                    "lossless", "bpp", "ss_h", "ss_v",
-                                   "bmax", "cmax", "emax", "maxc"))
+                                   "bmax", "cmax", "emax", "maxc",
+                                   "want_counts"))
 def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                 coef11, qmul, skipseg, segprob, scans, nbs,
                 rows, cols, sb_cols,
                 seg, txfmmode, lossless, bpp, ss_h, ss_v,
-                bmax, cmax, emax, maxc=MAXC):
+                bmax, cmax, emax, maxc=MAXC, want_counts=0):
     S = bounds.shape[0]
     lane = jnp.arange(S)
     big = jnp.int32(1 << 20)
@@ -446,6 +595,9 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         ncp=jnp.zeros((S,), jnp.int32),
         epairs=jnp.zeros((S, emax, 2), jnp.int32),
         nep=jnp.zeros((S,), jnp.int32),
+        # per-lane flat symbol counts (1-element dummy when the frame
+        # does no backward adaptation, keeping that executable lean)
+        cnts=jnp.zeros((S, CNT_TOTAL if want_counts else 1), jnp.int32),
         err=jnp.zeros((S,), jnp.int32),
     )
 
@@ -534,6 +686,14 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                                                3)))
         stk_bp = setrow(stk_bp, top, bp_new[:, None], z0 + 1, need_sym)
         t_bp = jnp.where(need_sym, bp_new, t_bp)
+        if want_counts:
+            # one partition count per decode_sb node, incl. edge-forced
+            # symbols (host counts at the end of every decode_sb call)
+            p_idx = jnp.where(
+                need_sym,
+                CNT_OFF["partition"]
+                + (jnp.clip(t_bl, 0, 3) * 4 + pctx) * 4 + bp_new, big)
+            st["cnts"] = st["cnts"].at[lane, p_idx].add(1, mode="drop")
 
         # --- emit next child/leaf for nodes with a decoded symbol ---
         m_emit = mp & (t_bp >= 0)
@@ -664,6 +824,12 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
             m_skipbit)
         b_skip = jnp.where(forced_skip, 1, skipbit)
         st["b_skip"] = jnp.where(mm, b_skip, st["b_skip"])
+        if want_counts:
+            s_idx = jnp.where(
+                m_skipbit,
+                CNT_OFF["skip"] + jnp.clip(sctx, 0, 2) * 2 + skipbit,
+                big)
+            st["cnts"] = st["cnts"].at[lane, s_idx].add(1, mode="drop")
 
         # --- tx size ---
         mtx = maxtx_t[jnp.clip(bs, 0, 12)]
@@ -710,6 +876,14 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                                                        0))),
                          jnp.minimum(mtx, txfmmode))
         st["b_tx"] = jnp.where(mm, b_tx, st["b_tx"])
+        if want_counts:
+            c2 = jnp.clip(txctx, 0, 1)
+            tx_idx = jnp.where(
+                m32, CNT_OFF["tx32p"] + c2 * 4 + tx_32,
+                jnp.where(m16, CNT_OFF["tx16p"] + c2 * 3 + tx_16,
+                          jnp.where(m8, CNT_OFF["tx8p"] + c2 * 2 + v0,
+                                    big)))
+            st["cnts"] = st["cnts"].at[lane, tx_idx].add(1, mode="drop")
         uvtx = b_tx - (((ss_h & (bw4 * 2 == (1 << b_tx))) |
                         (ss_v & (bh4 * 2 == (1 << b_tx))))
                        .astype(jnp.int32))
@@ -968,6 +1142,22 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         rac, b9 = _rac_get_prob(rac, half16, tpk(9), m_c34)
         m_c56 = m_c36 & (b8_ == 1)
         rac, b10 = _rac_get_prob(rac, half16, tpk(10), m_c56)
+        if want_counts:
+            # coefficient symbol counts at the (band, ctx) in effect
+            # when each symbol was read (vp9block.c: eobcnt at every
+            # eob probe; cnt[0/1/2] per token class)
+            prow5 = (jnp.clip(tx_p, 0, 3) * 2
+                     + (1 - is_y.astype(jnp.int32))) * 2  # is_inter=0
+            bc36 = jnp.clip(band * 6 + ctx, 0, 35)
+            e_idx = jnp.where(m_eob,
+                              CNT_EOB + (prow5 * 36 + bc36) * 2 + bb,
+                              big)
+            st["cnts"] = st["cnts"].at[lane, e_idx].add(1, mode="drop")
+            tok = jnp.where(is_zero, 0, jnp.where(m_one, 1, 2))
+            t_act = is_zero | m_one | m_bigv
+            t_idx = jnp.where(
+                t_act, CNT_COEF + (prow5 * 36 + bc36) * 3 + tok, big)
+            st["cnts"] = st["cnts"].at[lane, t_idx].add(1, mode="drop")
         # extra-bit classes cat1..cat6 decoded by ONE rolled ladder
         # with a per-class prob table (vp9block.c:839-899)
         cls = jnp.zeros((S,), jnp.int32)      # 1..6, 0 = none
@@ -1136,4 +1326,5 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
 
     final = jax.lax.while_loop(cond, body, state)
     return (final["blocks"], final["nblk"], final["cpairs"],
-            final["ncp"], final["epairs"], final["nep"], final["err"])
+            final["ncp"], final["epairs"], final["nep"], final["cnts"],
+            final["err"])

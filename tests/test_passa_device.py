@@ -39,9 +39,17 @@ def _check(pkt):
     dec = VP9Decoder(recon_backend="golden", use_native=False)
     s = dec.decode_pass_a(pkt)
     inputs, meta = PD.prep_keyframe(dec, pkt)
-    blocks, nblk, cpairs, ncp, epairs, nep, err = \
+    blocks, nblk, cpairs, ncp, epairs, nep, cnts, err = \
         PD.decode_keyframe_device(inputs, meta)
     assert not err.any(), "device walk overflow/error"
+    if meta["want_counts"]:
+        from ffmpeg_hybrid_tpu.codecs.vp9.counts import Counts
+        got = PD.counts_from_device(cnts, Counts())
+        host = dec.last_counts
+        for name, _sh in PD._CNT_SPEC:
+            assert (getattr(got, name).astype(np.int64)
+                    == getattr(host, name).astype(np.int64)).all(), \
+                f"{name} counts diverge"
     h = dec.header
     lanes = []
     for tr in range(h.tile_rows):
@@ -100,7 +108,24 @@ CASES = [
     dict(w=128, h=128, seed=41, txfmmode=4),      # TX_SWITCHABLE:
                                                   # per-block tx ladder
     dict(w=130, h=70, seed=42, txfmmode=4),       # switchable + edges
+    dict(w=130, h=70, seed=51, txfmmode=3,
+         refreshctx=1),                           # backward adaptation:
+                                                  # coef/eob counts
 ]
+
+
+def test_device_passa_counts_feed_adaptation():
+    """A refreshctx keyframe decoded with pass_a_impl='device' must
+    leave the SAME adapted frame context as the host decoder (the
+    counts gate removed in r5 — vp9.c:1821-1824, vp9prob.c:48-66)."""
+    pkt = _encode(dict(w=130, h=70, seed=51, txfmmode=3, refreshctx=1))
+    ref = VP9Decoder(recon_backend="golden", use_native=False)
+    ref.decode(pkt)
+    dev = VP9Decoder(recon_backend="golden", use_native=False,
+                     pass_a_impl="device")
+    dev.decode(pkt)
+    assert (ref.prob_ctx[0].coef == dev.prob_ctx[0].coef).all(), \
+        "adapted coef context diverges"
 
 
 @pytest.mark.parametrize("case", CASES, ids=lambda c: f"s{c['seed']}")

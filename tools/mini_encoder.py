@@ -312,7 +312,7 @@ def _put_seg_features(gb, seg_feat, seg_abs):
 
 def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
                  yac_qi=0, filter_level=0, sharpness=0, tile_cols_log2=0,
-                 tile_rows_log2=0, seg_feat=None, seg_abs=0,
+                 tile_rows_log2=0, seg_feat=None, seg_abs=0, refreshctx=0,
                  lf_deltas=None):
     """Uncompressed header bits up to (excl.) the compressed header size
     field. Keyframe, or an invisible intra-only frame (refreshing slot
@@ -355,7 +355,7 @@ def _header_bits(w, h, bpp, intraonly=False, ss_h=1, ss_v=1, seg=False,
     gb.put(w - 1, 16)
     gb.put(h - 1, 16)
     gb.put(0, 1)                   # no display size
-    gb.put(0, 1)                   # refresh_frame_context
+    gb.put(refreshctx, 1)          # refresh_frame_context
     gb.put(0, 1)                   # frame_parallel_decoding_mode
     gb.put(0, 2)                   # frame_context_idx
     # loop filter
@@ -663,7 +663,8 @@ def encode_keyframe_lossless(y, u, v, bpp=8, intraonly=False,
 def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
                            filter_level=24, ss_h=1, ss_v=1, sharpness=0,
                            tile_cols_log2=0, tile_rows_log2=0,
-                           seg_feat=None, seg_abs=0, lf_deltas=None):
+                           seg_feat=None, seg_abs=0, lf_deltas=None,
+                           refreshctx=0):
     """Lossy keyframe with pseudo-random (but fully legal) syntax:
     random partitions, all 10 intra modes, random coefficient tokens at
     every tx size txfmmode allows, random skip flags, and a nonzero
@@ -694,7 +695,8 @@ def encode_keyframe_random(w, h, bpp=8, seed=0, txfmmode=3, yac_qi=60,
                        filter_level=filter_level, sharpness=sharpness,
                        tile_cols_log2=tile_cols_log2,
                        tile_rows_log2=tile_rows_log2, seg_feat=seg_feat,
-                       seg_abs=seg_abs, lf_deltas=lf_deltas)
+                       seg_abs=seg_abs, lf_deltas=lf_deltas,
+                       refreshctx=refreshctx)
     c = BoolEncoder()
     c.put(0, 128)                       # marker
     if txfmmode >= 3:
