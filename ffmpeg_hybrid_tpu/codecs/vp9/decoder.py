@@ -698,7 +698,6 @@ class VP9Decoder:
         self.coef_pairs = None    # set by the native pass A (TPU mode)
         with metrics.timer("decode.pass_a"):
             if (self.pass_a_impl == "device"
-                    and (h.keyframe or h.intraonly)
                     # the device walk gives each tile-row lane its own
                     # zeroed above ctx; the reference zeroes it once
                     # per frame and carries it ACROSS tile rows
@@ -774,17 +773,20 @@ class VP9Decoder:
         the device returns block records + coefficient/eob pairs; the
         host replays the records through record_block + the LF mask
         builder (no entropy work) and scatters the pairs into the
-        dense planes. Keyframe/intra-only; when backward adaptation
-        will run, the walk also emits per-lane coef/eob symbol counts
-        (the only counts keyframe adaptation consumes —
-        vp9prob.c:48-66 adapts coefficients, then copies skip/tx from
-        the forward probs)."""
+        dense planes. When backward adaptation will run, the walk also
+        emits per-lane symbol counts, merged here (the vp9.c:1816-1819
+        tile merge). Inter frames run the full inter syntax walk
+        (modes, refs, interp filter, MV prediction + decode) with the
+        previous frame's MV/ref/seg grids as device inputs."""
         from ...ops import passa_device as PD
         from .blockdec import ZEROMV, mask_edges
         h = self.header
-        inputs, meta = PD.prep_keyframe(self, data)
+        if h.keyframe or h.intraonly:
+            inputs, meta = PD.prep_keyframe(self, data)
+        else:
+            inputs, meta = PD.prep_inter(self, data)
         blocks, nblk, cpairs, ncp, epairs, nep, cnts, err = \
-            PD.decode_keyframe_device(inputs, meta)
+            PD.decode_frame_device(inputs, meta)
         if err.any():
             raise ValueError("device pass A buffer overflow")
         # merge per-lane block lists back into the host's decode
@@ -806,49 +808,73 @@ class VP9Decoder:
                 ordered.append((r0, int(rec[0]) & ~7, c0, k, li))
         ordered.sort(key=lambda t: t[:4])
         td = TileDecoder(self)
+        seg_write = h.seg_enabled and (h.seg_update_map or h.keyframe
+                                       or h.intraonly)
         for r0, _sbrow, c0, k, li in ordered:
             rec = [int(v) for v in blocks[li, k]]
-            (row, col, bs, seg_id, skip, tx, m0, m1, m2, m3,
-             uvmode, uvtx) = rec
+            (row, col, tcs, bs, seg_id, skip, intra, tx, uvtx,
+             m0, m1, m2, m3, uvmode, comp, ref0, ref1, filt) = rec[:18]
             b = Block()
             b.bs, b.bl, b.bp = bs, min(bs // 3, 3), bs - min(bs // 3,
                                                             3) * 3
-            b.seg_id, b.skip, b.intra = seg_id, skip, 1
+            b.seg_id, b.skip, b.intra = seg_id, skip, intra
             b.tx, b.uvtx = tx, uvtx
             b.mode = [m0, m1, m2, m3]
             b.uvmode = uvmode
+            b.comp, b.ref, b.filter = comp, [ref0, ref1], filt
+            b.mv = [[(rec[18 + q * 4], rec[19 + q * 4]),
+                     (rec[20 + q * 4], rec[21 + q * 4])]
+                    for q in range(4)]
             td.row, td.col, td.row7 = row, col, row & 7
-            td.tile_col_start = c0
-            if h.seg_enabled:
-                bw4 = int(T.BWH_TAB[1, bs, 0])
-                bh4 = int(T.BWH_TAB[1, bs, 1])
+            td.tile_col_start = tcs
+            bw4 = int(T.BWH_TAB[1, bs, 0])
+            bh4 = int(T.BWH_TAB[1, bs, 1])
+            w4 = min(self.cols - col, bw4)
+            h4 = min(self.rows - row, bh4)
+            if seg_write:
                 self.cur_segmap[row:row + bh4, col:col + bw4] = seg_id
+            # cross-frame MV/ref grids (vp9block.c:777-801)
+            if not (h.keyframe or h.intraonly):
+                if intra:
+                    self.cur_ref[row:row + h4, col:col + w4] = -1
+                elif comp:
+                    self.cur_ref[row:row + h4, col:col + w4, 0] = ref0
+                    self.cur_ref[row:row + h4, col:col + w4, 1] = ref1
+                    self.cur_mv[row:row + h4, col:col + w4, 0] = \
+                        b.mv[3][0]
+                    self.cur_mv[row:row + h4, col:col + w4, 1] = \
+                        b.mv[3][1]
+                else:
+                    self.cur_ref[row:row + h4, col:col + w4, 0] = ref0
+                    self.cur_ref[row:row + h4, col:col + w4, 1] = -1
+                    self.cur_mv[row:row + h4, col:col + w4, 0] = \
+                        b.mv[3][0]
             self.record_block(td, b)
             if h.filter_level:
                 lvl = int(h.seg_feat[b.seg_id].lflvl[
-                    0, 0 if b.mode[3] == ZEROMV else 1])
+                    0 if intra else ref0 + 1,
+                    0 if b.mode[3] == ZEROMV else 1])
                 if lvl > 0:
-                    w4 = int(T.BWH_TAB[1, bs, 0])
-                    h4 = int(T.BWH_TAB[1, bs, 1])
-                    x_end = min(self.cols - col, w4)
-                    y_end = min(self.rows - row, h4)
+                    x_end = min(self.cols - col, bw4)
+                    y_end = min(self.rows - row, bh4)
+                    skip_inter = (not intra) and skip
                     col7 = col & 7
                     sbr, sbc = row >> 3, col >> 3
                     self.lf_level[sbr, sbc,
-                                  (row & 7):(row & 7) + h4,
-                                  col7:col7 + w4] = lvl
+                                  (row & 7):(row & 7) + bh4,
+                                  col7:col7 + bw4] = lvl
                     mask_edges(self.lf_mask[sbr, sbc, 0], 0, 0,
                                row & 7, col7, x_end, y_end, 0, 0,
-                               b.tx, False)
+                               b.tx, skip_inter)
                     if self.ss_h or self.ss_v:
                         mask_edges(
                             self.lf_mask[sbr, sbc, 1], self.ss_h,
                             self.ss_v, row & 7, col7, x_end, y_end,
                             (self.cols & 7) if (self.cols & 1)
-                            and col + w4 >= self.cols else 0,
+                            and col + bw4 >= self.cols else 0,
                             (self.rows & 7) if (self.rows & 1)
-                            and row + h4 >= self.rows else 0,
-                            b.uvtx, False)
+                            and row + bh4 >= self.rows else 0,
+                            b.uvtx, skip_inter)
         # dense coefficient planes + eob grids from the pair streams
         W64 = self.sb_cols * 64
         H64 = self.sb_rows * 64

@@ -49,7 +49,7 @@ from ..codecs.vp9.blockdec import (ABOVE_CTX, LEFT_CTX, MAX_TX_FOR_BL_BP,
                                    BAND_COUNTS)
 
 # phases
-PART, MODE, COEF, DONE = 0, 1, 2, 3
+PART, MODE, COEF, DONE, MV = 0, 1, 2, 3, 4
 
 # ---------------------------------------------------------------------------
 # static tables (device constants)
@@ -222,6 +222,93 @@ def _rac_bits(st, half16, probrow, nbits, mask):
     st, val = jax.lax.fori_loop(0, K, body,
                                 (st, jnp.zeros((S,), jnp.int32)))
     return st, val
+
+
+def _read_mv_comp(rac, half16, aux, st, lane, act, comp, hp,
+                  want_counts, big, S):
+    """One MV component (vp9mvs.c:236-289) for all lanes in `act`.
+    `comp` is 0 (row/vertical) or 1 (col/horizontal) — a trace-time
+    constant, matching the two fixed call sites of fill_mv. Returns
+    (rac, signed delta [S], st)."""
+    rac, sign = _rac_get_prob(rac, half16,
+                              jnp.asarray(aux["mvsignp"])[comp], act)
+    clp = jnp.broadcast_to(jnp.asarray(aux["mvclassesp"])[comp][None],
+                           (S, 10))
+    rac, cl = _rac_tree(rac, half16, _CLTREE, _CLDEPTH, clp, act)
+    if want_counts:
+        si = jnp.where(act, CNT_OFF["mv_sign"] + comp * 2 + sign, big)
+        st["cnts"] = st["cnts"].at[lane, si].add(1, mode="drop")
+        ci = jnp.where(act, CNT_OFF["mv_classes"] + comp * 11
+                       + jnp.clip(cl, 0, 10), big)
+        st["cnts"] = st["cnts"].at[lane, ci].add(1, mode="drop")
+    m_cl = act & (cl > 0)
+    bits_p = jnp.asarray(aux["mvbitsp"])[comp]
+
+    def bit_body(m, carry):
+        rac, n, cnts = carry
+        a = m_cl & (m < cl)
+        rac, bit = _rac_get_prob(rac, half16,
+                                 bits_p[jnp.clip(m, 0, 9)], a)
+        n = jnp.where(a, n | (bit << m), n)
+        if want_counts:
+            bi = jnp.where(a, CNT_OFF["mv_bits"] + comp * 20
+                           + jnp.clip(m, 0, 9) * 2 + bit, big)
+            cnts = cnts.at[lane, bi].add(1, mode="drop")
+        return (rac, n, cnts)
+
+    rac, n, cnts = jax.lax.fori_loop(
+        0, 10, bit_body,
+        (rac, jnp.zeros((S,), jnp.int32), st["cnts"]))
+    st["cnts"] = cnts
+    n = n << 3
+    fp_p = jnp.broadcast_to(jnp.asarray(aux["mvfpp"])[comp][None],
+                            (S, 3))
+    rac, fpv = _rac_tree(rac, half16, _FPTREE, _FPDEPTH, fp_p, m_cl)
+    n = jnp.where(m_cl, n | (fpv << 1), n)
+    m_hp = m_cl & hp
+    rac, hpb = _rac_get_prob(rac, half16,
+                             jnp.asarray(aux["mvhpp"])[comp], m_hp)
+    n = jnp.where(m_hp, n | hpb, jnp.where(m_cl, n | 1, n))
+    if want_counts:
+        fpi = jnp.where(m_cl, CNT_OFF["mv_fp"] + comp * 4
+                        + jnp.clip(fpv, 0, 3), big)
+        st["cnts"] = st["cnts"].at[lane, fpi].add(1, mode="drop")
+        # hp bit counted even when not coded (libvpx bug,
+        # vp9mvs.c:263-266)
+        hpi = jnp.where(m_hp, CNT_OFF["mv_hp"] + comp * 2 + hpb,
+                        jnp.where(m_cl,
+                                  CNT_OFF["mv_hp"] + comp * 2 + 1,
+                                  big))
+        st["cnts"] = st["cnts"].at[lane, hpi].add(1, mode="drop")
+    n = jnp.where(m_cl, n + (8 << jnp.clip(cl, 0, 10)), n)
+    # class 0 (vp9mvs.c:270-283)
+    m_c0 = act & (cl == 0)
+    rac, n0 = _rac_get_prob(rac, half16,
+                            jnp.asarray(aux["mvclass0p"])[comp], m_c0)
+    c0fp = jnp.asarray(aux["mvc0fpp"])[comp][jnp.clip(n0, 0, 1)]
+    rac, fp0 = _rac_tree(rac, half16, _FPTREE, _FPDEPTH, c0fp, m_c0)
+    nn0 = (n0 << 3) | (fp0 << 1)
+    m_hp0 = m_c0 & hp
+    rac, hp0 = _rac_get_prob(rac, half16,
+                             jnp.asarray(aux["mvc0hpp"])[comp], m_hp0)
+    nn0 = jnp.where(m_hp0, nn0 | hp0, nn0 | 1)
+    if want_counts:
+        c0i = jnp.where(m_c0, CNT_OFF["mv_class0"] + comp * 2 + n0,
+                        big)
+        st["cnts"] = st["cnts"].at[lane, c0i].add(1, mode="drop")
+        c0f = jnp.where(m_c0, CNT_OFF["mv_class0_fp"] + comp * 8
+                        + jnp.clip(n0, 0, 1) * 4 + jnp.clip(fp0, 0, 3),
+                        big)
+        st["cnts"] = st["cnts"].at[lane, c0f].add(1, mode="drop")
+        c0h = jnp.where(m_hp0,
+                        CNT_OFF["mv_class0_hp"] + comp * 2 + hp0,
+                        jnp.where(m_c0,
+                                  CNT_OFF["mv_class0_hp"] + comp * 2
+                                  + 1, big))
+        st["cnts"] = st["cnts"].at[lane, c0h].add(1, mode="drop")
+    n = jnp.where(m_c0, nn0, n)
+    ret = jnp.where(sign == 1, -(n + 1), n + 1)
+    return rac, ret, st
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +510,12 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
     S = meta["S"]
     rows, cols = meta["rows"], meta["cols"]
     ss_hv = meta["ss_h"] + meta["ss_v"]
+    inter = meta.get("inter", 0)
+    gmax = meta.get("gmax", 1)
+    aux = None
+    if inter:
+        aux = {kk: jnp.asarray(vv)
+               for kk, vv in inputs["aux"].items()}
     if bmax is None:
         bmax = rows * cols + 64
     if cmax is None:
@@ -461,8 +554,12 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
         txfmmode=meta["txfmmode"], lossless=meta["lossless"],
         bpp=meta["bpp"], ss_h=meta["ss_h"], ss_v=meta["ss_v"],
         bmax=bmax, cmax=cmax, emax=emax, maxc=maxc,
-        want_counts=meta.get("want_counts", 0))
+        want_counts=meta.get("want_counts", 0),
+        inter=inter, gmax=gmax, aux=aux)
     return [np.asarray(o) for o in out]
+
+
+decode_frame_device = decode_keyframe_device   # handles both kinds
 
 
 MAXC = 264        # base ctx-array width bucket (b8 cols); doubled as
@@ -505,15 +602,30 @@ def counts_from_device(cnt_lanes, out):
 @partial(jax.jit, static_argnames=("seg", "txfmmode",
                                    "lossless", "bpp", "ss_h", "ss_v",
                                    "bmax", "cmax", "emax", "maxc",
-                                   "want_counts"))
+                                   "want_counts", "inter", "gmax"))
 def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                 coef11, qmul, skipseg, segprob, scans, nbs,
                 rows, cols, sb_cols,
                 seg, txfmmode, lossless, bpp, ss_h, ss_v,
-                bmax, cmax, emax, maxc=MAXC, want_counts=0):
+                bmax, cmax, emax, maxc=MAXC, want_counts=0,
+                inter=0, gmax=1, aux=None):
     S = bounds.shape[0]
     lane = jnp.arange(S)
     big = jnp.int32(1 << 20)
+    if inter:
+        hf = aux["hflags"]
+        seg_en, seg_upd, seg_tmp, have_pseg = hf[0], hf[1], hf[2], hf[3]
+        comppredmode, fixref = hf[4], hf[5]
+        varref0, varref1 = hf[6], hf[7]
+        sbias = hf[8:11]
+        filtermode, highprec, use_prev = hf[11], hf[12], hf[13]
+        ptab = jnp.asarray(_mv_ref_blk_off())
+        from ..codecs.vp9.blockdec import INTER_MODE_CTX_LUT
+        imctx_t = jnp.asarray(np.asarray(INTER_MODE_CTX_LUT, np.int32))
+        flut_t = jnp.asarray(_FLUT)
+        szg_t = jnp.asarray(_SZGROUP)
+        kinds_t = jnp.asarray(_SLOT_KIND)
+        pars_t = jnp.asarray(_SLOT_PAR)
     W64 = sb_cols * 64
     W64uv = W64 >> ss_h
     c16 = sb_cols * 16
@@ -562,18 +674,21 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         b_uvtx=jnp.zeros((S,), jnp.int32),
         b_modes=jnp.zeros((S, 4), jnp.int32),
         b_uvmode=jnp.zeros((S,), jnp.int32),
-        # above ctx (frame-absolute col indexing, per lane)
+        # above ctx (frame-absolute col indexing, per lane); mode ctx
+        # init: DC_PRED for intra frames, NEARESTMV for inter frames
+        # (vp9.c:1720-1730, reset_left in decode_tiles)
         a_part=jnp.zeros((S, maxc + 8), jnp.int32),
         a_skip=jnp.zeros((S, maxc + 8), jnp.int32),
         a_txfm=jnp.zeros((S, maxc + 8), jnp.int32),
-        a_mode=jnp.full((S, 2 * maxc + 16), 2, jnp.int32),  # DC_PRED
+        a_mode=jnp.full((S, 2 * maxc + 16), 10 if inter else 2,
+                        jnp.int32),
         a_ynnz=jnp.zeros((S, 2 * maxc + 16), jnp.int32),
         a_unnz=jnp.zeros((S, 2, 2 * maxc + 16), jnp.int32),
         # left ctx (per SB row)
         l_part=jnp.zeros((S, 8), jnp.int32),
         l_skip=jnp.zeros((S, 8), jnp.int32),
         l_txfm=jnp.zeros((S, 8), jnp.int32),
-        l_mode=jnp.full((S, 16), 2, jnp.int32),             # DC_PRED
+        l_mode=jnp.full((S, 16), 10 if inter else 2, jnp.int32),
         l_ynnz=jnp.zeros((S, 16), jnp.int32),
         l_unnz=jnp.zeros((S, 2, 16), jnp.int32),
         # coef walk
@@ -588,8 +703,11 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         c_count=jnp.zeros((S,), jnp.int32),
         c_modeidx=jnp.zeros((S,), jnp.int32),  # running 4x4 counter n
         cache=jnp.zeros((S, 1024), jnp.int32),
-        # outputs
-        blocks=jnp.zeros((S, bmax, 12), jnp.int32),
+        # outputs — records in the native 34-column layout
+        # (passa_native.LazyBlocks): row, col, tile_col_start, bs,
+        # seg, skip, intra, tx, uvtx, mode[4], uvmode, comp, ref[2],
+        # filter, mv[4][2][2]
+        blocks=jnp.zeros((S, bmax, 34), jnp.int32),
         nblk=jnp.zeros((S,), jnp.int32),
         cpairs=jnp.zeros((S, cmax, 2), jnp.int32),
         ncp=jnp.zeros((S,), jnp.int32),
@@ -600,6 +718,41 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         cnts=jnp.zeros((S, CNT_TOTAL if want_counts else 1), jnp.int32),
         err=jnp.zeros((S,), jnp.int32),
     )
+    if inter:
+        state.update(
+            # non-intra-frame above/left ctx (vp9dec.h VP9Context /
+            # VP9TileData ctx arrays; splat layout 1 entry per b8)
+            a_intra=jnp.zeros((S, maxc + 8), jnp.int32),
+            a_comp=jnp.zeros((S, maxc + 8), jnp.int32),
+            a_ref=jnp.zeros((S, maxc + 8), jnp.int32),
+            a_filter=jnp.zeros((S, maxc + 8), jnp.int32),
+            a_segpred=jnp.zeros((S, maxc + 8), jnp.int32),
+            l_intra=jnp.zeros((S, 8), jnp.int32),
+            l_comp=jnp.zeros((S, 8), jnp.int32),
+            l_ref=jnp.zeros((S, 8), jnp.int32),
+            l_filter=jnp.zeros((S, 8), jnp.int32),
+            l_segpred=jnp.zeros((S, 8), jnp.int32),
+            # MV prediction ctx (above_mv_ctx / left_mv_ctx: 2 slots
+            # per b8, 2 refs, 2 components)
+            a_mv=jnp.zeros((S, 2 * maxc + 16, 2, 2), jnp.int32),
+            l_mv=jnp.zeros((S, 16, 2, 2), jnp.int32),
+            # decode-order frame MV/ref grids (VP9mvrefPair per b8;
+            # shared across lanes — tile columns write disjoint cells)
+            g_mv=jnp.zeros((gmax, 2, 2), jnp.int32),
+            g_ref=jnp.full((gmax, 2), -1, jnp.int32),
+            # current block inter fields
+            b_intra=jnp.zeros((S,), jnp.int32),
+            b_comp=jnp.zeros((S,), jnp.int32),
+            b_ref=jnp.zeros((S, 2), jnp.int32),
+            b_filter=jnp.zeros((S,), jnp.int32),
+            b_filterid=jnp.zeros((S,), jnp.int32),
+            b_modectx=jnp.zeros((S,), jnp.int32),
+            b_mv=jnp.zeros((S, 4, 2, 2), jnp.int32),
+            b_anycoef=jnp.zeros((S,), jnp.int32),
+            # MV phase iterator: sub-block slot and ref index
+            mv_k=jnp.zeros((S,), jnp.int32),
+            mv_z=jnp.zeros((S,), jnp.int32),
+        )
 
     def setrow(arr, base, vals, nvalid, mask):
         """arr[lane, base:base+len(vals)] = vals (masked, bounded)."""
@@ -663,7 +816,10 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         a_bit = (getcol(st["a_part"], t_c) >> (3 - t_bl)) & 1
         l_bit = (getcol(st["l_part"], t_r & 7) >> (3 - t_bl)) & 1
         pctx = a_bit | (l_bit << 1)
-        pp = kf_part[jnp.clip(t_bl, 0, 3), pctx]       # [S, 3]
+        if inter:
+            pp = jnp.asarray(aux["partp"])[jnp.clip(t_bl, 0, 3), pctx]
+        else:
+            pp = kf_part[jnp.clip(t_bl, 0, 3), pctx]   # [S, 3]
         col_in = (t_c + hbs) < cols
         row_in = (t_r + hbs) < rows
         leaf8 = t_bl == 3
@@ -779,12 +935,15 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                                  st["l_part"])
         st["l_skip"] = jnp.where((root_done & wrap)[:, None], 0,
                                  st["l_skip"])
-        st["l_mode"] = jnp.where((root_done & wrap)[:, None], 2,
-                                 st["l_mode"])   # DC_PRED (keyframe)
+        st["l_mode"] = jnp.where((root_done & wrap)[:, None],
+                                 10 if inter else 2, st["l_mode"])
         st["l_ynnz"] = jnp.where((root_done & wrap)[:, None], 0,
                                  st["l_ynnz"])
         st["l_unnz"] = jnp.where((root_done & wrap)[:, None, None], 0,
                                  st["l_unnz"])
+        if inter:
+            st["l_segpred"] = jnp.where((root_done & wrap)[:, None], 0,
+                                        st["l_segpred"])
 
         st["sp"] = sp
         st["stk_bl"], st["stk_r"], st["stk_c"] = stk_bl, stk_r, stk_c
@@ -807,7 +966,48 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         h4 = jnp.minimum(rows - br, bh4)
 
         # --- seg id ---
-        if seg:
+        if inter:
+            # non-intra frame (vp9block.c:101-142): optional temporal
+            # prediction of the seg id from the previous frame's map
+            spctx = (getcol(st["a_segpred"], bc)
+                     + getcol(st["l_segpred"], row7))
+            m_pred = mm & (seg_en == 1) & (seg_upd == 1) & (seg_tmp == 1)
+            rac, predbit = _rac_get_prob(
+                rac, half16,
+                jnp.asarray(aux["segpredp"])[jnp.clip(spctx, 0, 2)],
+                m_pred)
+            use_pred = (seg_en == 1) & ((seg_upd == 0)
+                                        | ((seg_tmp == 1)
+                                           & (predbit == 1)))
+            m_tree = mm & (seg_en == 1) & (seg_upd == 1) \
+                & ~((seg_tmp == 1) & (predbit == 1))
+            segp = jnp.broadcast_to(segprob[None, :], (S, 7))
+            rac, seg_tree = _rac_tree(rac, half16, _STREE, _SDEPTH,
+                                      segp, m_tree)
+            # predicted id = min of the previous map over the CLIPPED
+            # block area (blockdec.py:261-263)
+            w4c8 = jnp.minimum(cols - bc, bwh[1, jnp.clip(bs, 0, 12), 0])
+            h4c8 = jnp.minimum(rows - br, bwh[1, jnp.clip(bs, 0, 12), 1])
+            kyy = jnp.arange(8)[None, :, None]
+            kxx = jnp.arange(8)[None, None, :]
+            okg = (kyy < h4c8[:, None, None]) & (kxx < w4c8[:, None, None])
+            gseg = (br[:, None, None] + kyy) * cols \
+                + (bc[:, None, None] + kxx)
+            pvals = jnp.asarray(aux["prev_seg"])[
+                jnp.clip(gseg, 0, gmax - 1)]
+            pred_seg = jnp.min(jnp.where(okg, pvals, 8), axis=(1, 2))
+            pred_seg = jnp.where(have_pseg == 1, pred_seg, 0)
+            seg_id = jnp.where(use_pred, pred_seg,
+                               jnp.where(m_tree, seg_tree, 0))
+            # segpred ctx splat (clipped; only when seg enabled)
+            m_spl = mm & (seg_en == 1)
+            st["a_segpred"] = splat1(st["a_segpred"], bc,
+                                     use_pred.astype(jnp.int32),
+                                     w4c8, m_spl)
+            st["l_segpred"] = splat1(st["l_segpred"], row7,
+                                     use_pred.astype(jnp.int32),
+                                     h4c8, m_spl)
+        elif seg:
             segp = jnp.broadcast_to(segprob[None, :], (S, 7))
             rac, seg_id = _rac_tree(rac, half16, _STREE, _SDEPTH,
                                     segp, mm)
@@ -831,6 +1031,39 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                 big)
             st["cnts"] = st["cnts"].at[lane, s_idx].add(1, mode="drop")
 
+        # --- intra/inter flag (vp9block.c:283-298) ---
+        if inter:
+            rs_en = jnp.take(jnp.asarray(aux["refseg_en"]),
+                             jnp.clip(seg_id, 0, 7)) == 1
+            rs_val = jnp.take(jnp.asarray(aux["refseg_val"]),
+                              jnp.clip(seg_id, 0, 7))
+            a_in = getcol(st["a_intra"], bc)
+            l_in = getcol(st["l_intra"], row7)
+            have_a = br > 0
+            have_l = bc > c0l
+            ctx_i = jnp.where(
+                have_a & have_l,
+                a_in + l_in + ((a_in + l_in) == 2).astype(jnp.int32),
+                jnp.where(have_a, 2 * a_in,
+                          jnp.where(have_l, 2 * l_in, 0)))
+            m_ibit = mm & ~rs_en
+            rac, ibit = _rac_get_prob(
+                rac, half16,
+                jnp.asarray(aux["intrap"])[jnp.clip(ctx_i, 0, 3)],
+                m_ibit)
+            b_intra = jnp.where(rs_en, (rs_val == 0).astype(jnp.int32),
+                                1 - ibit)
+            st["b_intra"] = jnp.where(mm, b_intra, st["b_intra"])
+            if want_counts:
+                i_idx = jnp.where(
+                    m_ibit,
+                    CNT_OFF["intra"] + jnp.clip(ctx_i, 0, 3) * 2 + ibit,
+                    big)
+                st["cnts"] = st["cnts"].at[lane, i_idx].add(
+                    1, mode="drop")
+        else:
+            b_intra = jnp.ones((S,), jnp.int32)
+
         # --- tx size ---
         mtx = maxtx_t[jnp.clip(bs, 0, 12)]
         have_a = br > 0
@@ -849,9 +1082,11 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                                           (l_t * 2 > mtx)
                                           .astype(jnp.int32)),
                                 1)))
-        # intra blocks: tx coded when (intra or !skip) — keyframe is
-        # all intra, so tx is coded whenever switchable
+        # tx coded when (intra or !skip) and switchable — keyframes
+        # are all-intra, so there it is coded whenever switchable
         sel_tx = mm & (txfmmode == 4)
+        if inter:
+            sel_tx = sel_tx & ((b_intra == 1) | (b_skip == 0))
         m32 = sel_tx & (mtx == 3)
         p32 = tx32p[jnp.clip(txctx, 0, 1)]
         rac, t0 = _rac_get_prob(rac, half16, p32[:, 0], m32)
@@ -889,13 +1124,17 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                        .astype(jnp.int32))
         st["b_uvtx"] = jnp.where(mm, uvtx, st["b_uvtx"])
 
-        # --- keyframe y modes (context-coupled trees) ---
+        # --- modes ---
         a0i, a1i = bc * 2, bc * 2 + 1
         l0i, l1i = (row7) * 2, (row7) * 2 + 1
         # bs indexing: larger index = smaller block (BS_8x8 == 9);
         # the 4-slot per-4x4-mode path is for SUB-8x8 blocks
         # (vp9block.c decode_mode_kf: b->bs > BS_8x8)
         big_bs = bs > 9      # sub-8x8: per-4x4 mode slots
+        is_8x4 = bs == 10
+        is_4x8 = bs == 11
+        entered_mv = jnp.zeros((S,), bool)
+        m_blkdone = mm        # lanes whose mode bundle completes here
 
         def ymode_slot(rac, msel, a_idx, l_from_a, l_idx):
             av = getcol(st["a_mode"], a_idx)
@@ -904,60 +1143,373 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
             probs = kf_ym[jnp.clip(av, 0, 9), jnp.clip(lv, 0, 9)]
             return _rac_tree(rac, half16, _MTREE, _MDEPTH, probs, msel)
 
-        m_big = mm & big_bs
-        # slot 0: probs[a[a0]][l[l0]]
-        rac, md0 = ymode_slot(rac, m_big, a0i, None, l0i)
-        st["a_mode"] = setrow(st["a_mode"], a0i, md0[:, None], z0 + 1,
-                              m_big)
-        # slot 1 (bs != BS_8x4): probs[a[a1]][mode0]
-        is_8x4 = bs == 10
-        is_4x8 = bs == 11
-        m_s1 = m_big & ~is_8x4
-        rac, md1_t = ymode_slot(rac, m_s1, a1i, md0, None)
-        md1 = jnp.where(is_8x4, md0, md1_t)
-        # l[l0] = a[a1] = mode1
-        st["l_mode"] = setrow(st["l_mode"], l0i, md1[:, None], z0 + 1,
-                              m_big)
-        st["a_mode"] = setrow(st["a_mode"], a1i, md1[:, None], z0 + 1,
-                              m_big)
-        # slot 2 (bs != BS_4x8): probs[a[a0]][l[l1]]
-        m_s2 = m_big & ~is_4x8
-        rac, md2_t = ymode_slot(rac, m_s2, a0i, None, l1i)
-        md2 = jnp.where(is_4x8, md0, md2_t)
-        st["a_mode"] = setrow(st["a_mode"], a0i, md2[:, None], z0 + 1,
-                              m_s2)
-        # slot 3: probs[a[a1]][mode2] (bs not in {8x4, 4x8}); every
-        # big-bs branch ends with l[l1] = a[a1] = mode3
-        m_s3 = m_big & ~is_4x8 & ~is_8x4
-        rac, md3_t = ymode_slot(rac, m_s3, a1i, md2, None)
-        md3 = jnp.where(is_4x8, md1, jnp.where(is_8x4, md2, md3_t))
-        st["l_mode"] = setrow(st["l_mode"], l1i, md3[:, None], z0 + 1,
-                              m_big)
-        st["a_mode"] = setrow(st["a_mode"], a1i, md3[:, None], z0 + 1,
-                              m_big)
+        if inter:
+            # ===== non-keyframe modes (vp9block.c:331-802) =====
+            # intra blocks on an inter frame: fixed per-frame prob
+            # tables, no above/left coupling (vp9block.c:380-411)
+            m_iy = mm & (b_intra == 1)
+            m_blkdone = m_iy
+            ymp = jnp.asarray(aux["ymodep"])
+            uvmp = jnp.asarray(aux["uvmodep"])
+            yp0 = jnp.broadcast_to(ymp[0][None], (S, 9))
+            m_ibig = m_iy & big_bs
+            rac, i0 = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                m_ibig)
+            m_i1 = m_ibig & ~is_8x4
+            rac, i1t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                 m_i1)
+            i1 = jnp.where(is_8x4, i0, i1t)
+            m_i2 = m_ibig & ~is_4x8
+            rac, i2t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                 m_i2)
+            i2 = jnp.where(is_4x8, i0, i2t)
+            m_i3 = m_ibig & ~is_4x8 & ~is_8x4
+            rac, i3t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                 m_i3)
+            i3 = jnp.where(is_4x8, i1, jnp.where(is_8x4, i2, i3t))
+            m_ismall = m_iy & ~big_bs
+            szg = szg_t[jnp.clip(bs, 0, 12)]
+            rac, ism = _rac_tree(rac, half16, _MTREE, _MDEPTH,
+                                 ymp[jnp.clip(szg, 0, 3)], m_ismall)
+            mode0 = jnp.where(big_bs, i0, ism)
+            mode1 = jnp.where(big_bs, i1, ism)
+            mode2 = jnp.where(big_bs, i2, ism)
+            mode3 = jnp.where(big_bs, i3, ism)
+            modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
+            st["b_modes"] = jnp.where(m_iy[:, None], modes,
+                                      st["b_modes"])
+            uvp = uvmp[jnp.clip(mode3, 0, 9)]
+            rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp,
+                                    m_iy)
+            st["b_uvmode"] = jnp.where(m_iy, uvmode, st["b_uvmode"])
+            # intra blocks on inter frames set comp=0 explicitly
+            # (vp9block.c:381) — the comp ctx splat reads it
+            st["b_comp"] = jnp.where(m_iy, 0, st["b_comp"])
+            if want_counts:
+                for msl, mvv in ((m_ibig, i0), (m_i1, i1t),
+                                 (m_i2, i2t), (m_i3, i3t)):
+                    yy = jnp.where(msl, CNT_OFF["y_mode"]
+                                   + jnp.clip(mvv, 0, 9), big)
+                    st["cnts"] = st["cnts"].at[lane, yy].add(
+                        1, mode="drop")
+                ys = jnp.where(
+                    m_ismall,
+                    CNT_OFF["y_mode"] + jnp.clip(szg, 0, 3) * 10
+                    + jnp.clip(ism, 0, 9), big)
+                st["cnts"] = st["cnts"].at[lane, ys].add(1,
+                                                         mode="drop")
+                uvc = jnp.where(
+                    m_iy,
+                    CNT_OFF["uv_mode"] + jnp.clip(mode3, 0, 9) * 10
+                    + jnp.clip(uvmode, 0, 9), big)
+                st["cnts"] = st["cnts"].at[lane, uvc].add(1,
+                                                          mode="drop")
 
-        # <= 8x8: one tree from probs[a[a0]][l[l0]], splat bw/bh
-        m_small = mm & ~big_bs
-        rac, mds = ymode_slot(rac, m_small, a0i, None, l0i)
-        smode = mds
-        nw2 = bwh[0, jnp.clip(bs, 0, 12), 0]
-        nh2 = bwh[0, jnp.clip(bs, 0, 12), 1]
-        st["a_mode"] = splat1(st["a_mode"], a0i, smode, nw2, m_small,
-                              width=16)
-        st["l_mode"] = splat1(st["l_mode"], l0i, smode, nh2, m_small,
-                              width=16)
+            # ----- inter block: comp mode / reference selection
+            # (vp9block.c:331-575) -----
+            m_il = mm & (b_intra == 0)
+            a_cm = getcol(st["a_comp"], bc)
+            l_cm = getcol(st["l_comp"], row7)
+            a_rf = getcol(st["a_ref"], bc)
+            l_rf = getcol(st["l_ref"], row7)
+            m_segref = m_il & rs_en
+            m_free = m_il & ~rs_en
 
-        mode0 = jnp.where(big_bs, md0, smode)
-        mode1 = jnp.where(big_bs, md1, smode)
-        mode2 = jnp.where(big_bs, md2, smode)
-        mode3 = jnp.where(big_bs, md3, smode)
-        modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
-        st["b_modes"] = jnp.where(mm[:, None], modes, st["b_modes"])
+            def i32_(b):
+                return b.astype(jnp.int32)
 
-        # --- uv mode ---
-        uvp = kf_uvm[jnp.clip(mode3, 0, 9)]
-        rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp, mm)
-        st["b_uvmode"] = jnp.where(mm, uvmode, st["b_uvmode"])
+            fix_eq_a = (a_in == 0) & (a_rf == fixref)
+            fix_eq_l = (l_in == 0) & (l_rf == fixref)
+            ctx_c = jnp.where(
+                have_a & have_l,
+                jnp.where((a_cm == 1) & (l_cm == 1), 4,
+                jnp.where(a_cm == 1,
+                          2 + i32_((l_in == 1) | (l_rf == fixref)),
+                jnp.where(l_cm == 1,
+                          2 + i32_((a_in == 1) | (a_rf == fixref)),
+                          i32_(fix_eq_a ^ fix_eq_l)))),
+                jnp.where(have_a,
+                          jnp.where(a_cm == 1, 3, i32_(fix_eq_a)),
+                jnp.where(have_l,
+                          jnp.where(l_cm == 1, 3, i32_(fix_eq_l)),
+                          1)))
+            m_csel = m_free & (comppredmode == 2)
+            rac, compbit = _rac_get_prob(
+                rac, half16,
+                jnp.asarray(aux["compp"])[jnp.clip(ctx_c, 0, 4)],
+                m_csel)
+            b_comp = jnp.where(
+                m_csel, compbit,
+                jnp.where(m_free, i32_(comppredmode == 1), 0))
+            st["b_comp"] = jnp.where(m_il, b_comp, st["b_comp"])
+            if want_counts:
+                cc_ = jnp.where(
+                    m_csel,
+                    CNT_OFF["comp"] + jnp.clip(ctx_c, 0, 4) * 2
+                    + compbit, big)
+                st["cnts"] = st["cnts"].at[lane, cc_].add(1,
+                                                          mode="drop")
+
+            # compound reference (vp9block.c:522-577)
+            fix_idx = sbias[jnp.clip(fixref, 0, 2)]
+            refl, refa = l_rf, a_rf
+            nn0 = jnp.where(
+                (refl == refa) & (refa == varref1), 0,
+                jnp.where((l_cm == 0) & (a_cm == 0),
+                    jnp.where(((refa == fixref) & (refl == varref0))
+                              | ((refl == fixref)
+                                 & (refa == varref0)), 4,
+                              jnp.where(refa == refl, 3, 1)),
+                jnp.where(l_cm == 0,
+                    jnp.where((refa == varref1) & (refl != varref1), 1,
+                        jnp.where((refl == varref1)
+                                  & (refa != varref1), 2, 4)),
+                jnp.where(a_cm == 0,
+                    jnp.where((refl == varref1) & (refa != varref1), 1,
+                        jnp.where((refa == varref1)
+                                  & (refl != varref1), 2, 4)),
+                    jnp.where(refl == refa, 4, 2)))))
+            ctx_cr = jnp.where(
+                have_a & have_l,
+                jnp.where(a_in == 1,
+                    jnp.where(l_in == 1, 2,
+                              1 + 2 * i32_(refl != varref1)),
+                    jnp.where(l_in == 1,
+                              1 + 2 * i32_(refa != varref1), nn0)),
+                jnp.where(have_a,
+                    jnp.where(a_in == 1, 2,
+                        jnp.where(a_cm == 1,
+                                  4 * i32_(a_rf != varref1),
+                                  3 * i32_(a_rf != varref1))),
+                jnp.where(have_l,
+                    jnp.where(l_in == 1, 2,
+                        jnp.where(l_cm == 1,
+                                  4 * i32_(l_rf != varref1),
+                                  3 * i32_(l_rf != varref1))),
+                    2)))
+            m_cref = m_free & (b_comp == 1)
+            rac, crbit = _rac_get_prob(
+                rac, half16,
+                jnp.asarray(aux["comprefp"])[jnp.clip(ctx_cr, 0, 4)],
+                m_cref)
+            if want_counts:
+                cr_ = jnp.where(
+                    m_cref,
+                    CNT_OFF["comp_ref"] + jnp.clip(ctx_cr, 0, 4) * 2
+                    + crbit, big)
+                st["cnts"] = st["cnts"].at[lane, cr_].add(1,
+                                                          mode="drop")
+            varsel = jnp.where(crbit == 1, varref1, varref0)
+            cref0 = jnp.where(fix_idx == 0, fixref, varsel)
+            cref1 = jnp.where(fix_idx == 0, varsel, fixref)
+
+            # single reference (vp9block.c:579-687)
+            a_ok = have_a & (a_in == 0)
+            l_ok = have_l & (l_in == 0)
+            nf = i32_(fixref == 0)
+            nlr = i32_(l_rf == 0)
+            nar = i32_(a_rf == 0)
+            inner_both = jnp.where(
+                l_cm == 1,
+                jnp.where(a_cm == 1, 1 + (nf | nlr | nar),
+                          3 * nar + (nf | nlr)),
+                jnp.where(a_cm == 1, 3 * nlr + (nf | nar),
+                          2 * nlr + 2 * nar))
+            ctx_s1 = jnp.where(
+                a_ok,
+                jnp.where(l_ok, inner_both,
+                          jnp.where(a_cm == 1, 1 + (nf | nar),
+                                    4 * nar)),
+                jnp.where(l_ok,
+                          jnp.where(l_cm == 1, 1 + (nf | nlr),
+                                    4 * nlr),
+                          2))
+            m_sr = m_free & (b_comp == 0)
+            rac, sbit0 = _rac_get_prob(
+                rac, half16,
+                jnp.asarray(aux["singlerefp"])[jnp.clip(ctx_s1, 0, 4),
+                                               0], m_sr)
+            if want_counts:
+                s1_ = jnp.where(
+                    m_sr,
+                    CNT_OFF["single_ref"]
+                    + jnp.clip(ctx_s1, 0, 4) * 4 + sbit0, big)
+                st["cnts"] = st["cnts"].at[lane, s1_].add(1,
+                                                          mode="drop")
+            m_sr2 = m_sr & (sbit0 == 1)
+            f1 = i32_(fixref == 1)
+            ar1 = i32_(a_rf == 1)
+            lr1 = i32_(l_rf == 1)
+            # second-bit context (vp9block.c:489-572), incl. the
+            # reference's dead arms
+            c_ll = jnp.where(
+                l_in == 1,
+                jnp.where(a_in == 1, 2,
+                    jnp.where(a_cm == 1, 1 + 2 * (f1 | ar1),
+                        jnp.where(nar == 1, 3, 4 * ar1))),
+                jnp.where(a_in == 1,
+                    jnp.where(l_cm == 1, 1 + 2 * (f1 | lr1),
+                        jnp.where(nlr == 1, 3, 4 * lr1)),
+                jnp.where(a_cm == 1,
+                    jnp.where(l_cm == 1,
+                        jnp.where(l_rf == a_rf, 3 * (f1 | lr1), 2),
+                        jnp.where(nlr == 1, 1 + 2 * (f1 | ar1),
+                                  3 * lr1 + (f1 | ar1))),
+                jnp.where(l_cm == 1,
+                    jnp.where(nar == 1, 1 + 2 * (f1 | lr1),
+                              3 * ar1 + (f1 | lr1)),
+                jnp.where(nar == 1,
+                    jnp.where(nlr == 1, 3, 4 * lr1),
+                jnp.where(nlr == 1, 4 * ar1,
+                          2 * lr1 + 2 * ar1))))))
+            ctx_s2 = jnp.where(
+                have_a,
+                jnp.where(have_l, c_ll,
+                    jnp.where((a_in == 1)
+                              | ((a_cm == 0) & (nar == 1)), 2,
+                        jnp.where(a_cm == 1, 3 * (f1 | ar1),
+                                  4 * ar1))),
+                jnp.where(have_l,
+                    jnp.where((l_in == 1)
+                              | ((l_cm == 0) & (nlr == 1)), 2,
+                        jnp.where(l_cm == 1, 3 * (f1 | lr1),
+                                  4 * lr1)),
+                    2))
+            rac, sbit1 = _rac_get_prob(
+                rac, half16,
+                jnp.asarray(aux["singlerefp"])[jnp.clip(ctx_s2, 0, 4),
+                                               1], m_sr2)
+            if want_counts:
+                s2_ = jnp.where(
+                    m_sr2,
+                    CNT_OFF["single_ref"]
+                    + jnp.clip(ctx_s2, 0, 4) * 4 + 2 + sbit1, big)
+                st["cnts"] = st["cnts"].at[lane, s2_].add(1,
+                                                          mode="drop")
+            sref = jnp.where(sbit0 == 0, 0, 1 + sbit1)
+            ref0 = jnp.where(m_segref, rs_val - 1,
+                             jnp.where(b_comp == 1, cref0, sref))
+            ref1 = jnp.where(b_comp == 1, cref1, 0)
+            newref = jnp.stack([ref0, ref1], 1)
+            st["b_ref"] = jnp.where(m_il[:, None], newref,
+                                    st["b_ref"])
+
+            # whole-block inter mode for >=8x8 (vp9block.c:577-600);
+            # seg SKIP feature forces ZEROMV without a symbol. The
+            # mode ctx samples the a/l mode ctx at an offset INTO the
+            # block for 64x64 (+3) and 32x32 (+1) — SUB8X8_OFF,
+            # vp9block.c:584 (sub-8x8 blocks use offset 0)
+            moff = jnp.asarray(
+                np.asarray([3, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                           np.int32))[jnp.clip(bs, 0, 12)]
+            mctx = imctx_t[
+                jnp.clip(getcol(st["a_mode"], bc + moff), 0, 13),
+                jnp.clip(getcol(st["l_mode"], row7 + moff), 0, 13)]
+            st["b_modectx"] = jnp.where(m_il, mctx, st["b_modectx"])
+            m_bmode = m_il & (bs <= 9) & ~forced_skip
+            rac, bmt = _rac_tree(
+                rac, half16, _IMTREE, _IMDEPTH,
+                jnp.asarray(aux["mvmodep"])[jnp.clip(mctx, 0, 6)],
+                m_bmode)
+            if want_counts:
+                bm_ = jnp.where(
+                    m_bmode,
+                    CNT_OFF["mv_mode"] + jnp.clip(mctx, 0, 6) * 4
+                    + jnp.clip(bmt - 10, 0, 3), big)
+                st["cnts"] = st["cnts"].at[lane, bm_].add(1,
+                                                          mode="drop")
+            bmode = jnp.where(forced_skip, 12, bmt)   # ZEROMV
+            m_bstore = m_il & (bs <= 9)
+            st["b_modes"] = jnp.where(m_bstore[:, None],
+                                      bmode[:, None], st["b_modes"])
+
+            # interp filter (vp9block.c:602-624)
+            a_md = getcol(st["a_mode"], bc)
+            l_md = getcol(st["l_mode"], row7)
+            cond_a = have_a & (a_md >= 10)
+            cond_l = have_l & (l_md >= 10)
+            af = getcol(st["a_filter"], bc)
+            lf_ = getcol(st["l_filter"], row7)
+            ctx_f = jnp.where(
+                cond_a,
+                jnp.where(cond_l, jnp.where(af == lf_, lf_, 3), af),
+                jnp.where(cond_l, lf_, 3))
+            m_filt = m_il & (filtermode == 4)
+            rac, fid = _rac_tree(
+                rac, half16, _FTREE, _FDEPTH,
+                jnp.asarray(aux["filterp"])[jnp.clip(ctx_f, 0, 3)],
+                m_filt)
+            if want_counts:
+                fc_ = jnp.where(
+                    m_filt,
+                    CNT_OFF["filter"] + jnp.clip(ctx_f, 0, 3) * 3
+                    + jnp.clip(fid, 0, 2), big)
+                st["cnts"] = st["cnts"].at[lane, fc_].add(1,
+                                                          mode="drop")
+            b_filt = jnp.where(m_filt, flut_t[jnp.clip(fid, 0, 2)],
+                               filtermode)
+            st["b_filter"] = jnp.where(m_il, b_filt, st["b_filter"])
+            st["b_filterid"] = jnp.where(
+                m_filt, fid, jnp.where(m_il, 0, st["b_filterid"]))
+
+            # inter lanes continue in the MV phase
+            entered_mv = m_il
+            st["phase"] = jnp.where(m_il, MV, st["phase"])
+            st["mv_k"] = jnp.where(m_il, 0, st["mv_k"])
+            st["mv_z"] = jnp.where(m_il, 0, st["mv_z"])
+        else:
+            m_big = mm & big_bs
+            # slot 0: probs[a[a0]][l[l0]]
+            rac, md0 = ymode_slot(rac, m_big, a0i, None, l0i)
+            st["a_mode"] = setrow(st["a_mode"], a0i, md0[:, None], z0 + 1,
+                                  m_big)
+            # slot 1 (bs != BS_8x4): probs[a[a1]][mode0]
+            m_s1 = m_big & ~is_8x4
+            rac, md1_t = ymode_slot(rac, m_s1, a1i, md0, None)
+            md1 = jnp.where(is_8x4, md0, md1_t)
+            # l[l0] = a[a1] = mode1
+            st["l_mode"] = setrow(st["l_mode"], l0i, md1[:, None], z0 + 1,
+                                  m_big)
+            st["a_mode"] = setrow(st["a_mode"], a1i, md1[:, None], z0 + 1,
+                                  m_big)
+            # slot 2 (bs != BS_4x8): probs[a[a0]][l[l1]]
+            m_s2 = m_big & ~is_4x8
+            rac, md2_t = ymode_slot(rac, m_s2, a0i, None, l1i)
+            md2 = jnp.where(is_4x8, md0, md2_t)
+            st["a_mode"] = setrow(st["a_mode"], a0i, md2[:, None], z0 + 1,
+                                  m_s2)
+            # slot 3: probs[a[a1]][mode2] (bs not in {8x4, 4x8}); every
+            # big-bs branch ends with l[l1] = a[a1] = mode3
+            m_s3 = m_big & ~is_4x8 & ~is_8x4
+            rac, md3_t = ymode_slot(rac, m_s3, a1i, md2, None)
+            md3 = jnp.where(is_4x8, md1, jnp.where(is_8x4, md2, md3_t))
+            st["l_mode"] = setrow(st["l_mode"], l1i, md3[:, None], z0 + 1,
+                                  m_big)
+            st["a_mode"] = setrow(st["a_mode"], a1i, md3[:, None], z0 + 1,
+                                  m_big)
+
+            # <= 8x8: one tree from probs[a[a0]][l[l0]], splat bw/bh
+            m_small = mm & ~big_bs
+            rac, mds = ymode_slot(rac, m_small, a0i, None, l0i)
+            smode = mds
+            nw2 = bwh[0, jnp.clip(bs, 0, 12), 0]
+            nh2 = bwh[0, jnp.clip(bs, 0, 12), 1]
+            st["a_mode"] = splat1(st["a_mode"], a0i, smode, nw2, m_small,
+                                  width=16)
+            st["l_mode"] = splat1(st["l_mode"], l0i, smode, nh2, m_small,
+                                  width=16)
+
+            mode0 = jnp.where(big_bs, md0, smode)
+            mode1 = jnp.where(big_bs, md1, smode)
+            mode2 = jnp.where(big_bs, md2, smode)
+            mode3 = jnp.where(big_bs, md3, smode)
+            modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
+            st["b_modes"] = jnp.where(mm[:, None], modes, st["b_modes"])
+
+            # --- uv mode ---
+            uvp = kf_uvm[jnp.clip(mode3, 0, 9)]
+            rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp, mm)
+            st["b_uvmode"] = jnp.where(mm, uvmode, st["b_uvmode"])
 
         # --- SET_CTXS splats ---
         st["a_skip"] = splat1(st["a_skip"], bc, b_skip, bw4, mm)
@@ -969,44 +1521,325 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         st["l_part"] = splat1(st["l_part"], row7,
                               lctx_t[jnp.clip(bs, 0, 12)], bh4, mm)
 
-        # --- emit block record ---
-        rec = jnp.stack([br, bc, bs, seg_id, b_skip, b_tx, mode0,
-                         mode1, mode2, mode3, uvmode, uvtx], 1)
-        bi = jnp.where(mm, st["nblk"], big)
-        st["blocks"] = st["blocks"].at[lane, jnp.clip(bi, 0, bmax - 1)] \
-            .set(jnp.where(mm[:, None] & (bi < bmax)[:, None], rec,
-                           st["blocks"][lane,
-                                        jnp.clip(bi, 0, bmax - 1)]))
-        st["nblk"] = jnp.where(mm, st["nblk"] + 1, st["nblk"])
-        st["err"] = st["err"] | jnp.where(mm & (bi >= bmax), 1, 0)
+        # --- transitions for lanes whose mode bundle finished here
+        # (all lanes on keyframes; intra lanes on inter frames — the
+        # inter lanes continue through the MV phase) ---
+        def zero_nnz(stt, mask, bcv, row7v, bw4v, bh4v):
+            """SPLAT_ZERO_YUV of a skip block (vp9block.c:1316-)."""
+            zt = jnp.zeros((S,), jnp.int32)
+            stt["a_ynnz"] = splat1(stt["a_ynnz"], bcv * 2, zt,
+                                   bw4v * 2, mask, width=16)
+            stt["l_ynnz"] = splat1(stt["l_ynnz"], row7v * 2, zt,
+                                   bh4v * 2, mask, width=16)
+            au0 = bcv * 2 >> ss_h
+            lu0 = row7v * 2 >> ss_v
+            for pl in range(2):
+                stt["a_unnz"] = stt["a_unnz"].at[:, pl].set(
+                    splat1(stt["a_unnz"][:, pl], au0, zt,
+                           (bw4v * 2) >> ss_h, mask, width=16))
+                stt["l_unnz"] = stt["l_unnz"].at[:, pl].set(
+                    splat1(stt["l_unnz"][:, pl], lu0, zt,
+                           (bh4v * 2) >> ss_v, mask, width=16))
+            return stt
 
-        # --- skip: zero nnz ctx and go back to PART; else COEF ---
-        m_sk = mm & (b_skip == 1)
-        zt = jnp.zeros((S,), jnp.int32)
-        st["a_ynnz"] = splat1(st["a_ynnz"], bc * 2, zt, bw4 * 2, m_sk,
-                              width=16)
-        st["l_ynnz"] = splat1(st["l_ynnz"], row7 * 2, zt, bh4 * 2,
-                              m_sk, width=16)
-        au0 = bc * 2 >> ss_h
-        lu0 = row7 * 2 >> ss_v
-        for pl in range(2):
-            st["a_unnz"] = st["a_unnz"].at[:, pl].set(
-                splat1(st["a_unnz"][:, pl], au0, zt,
-                       (bw4 * 2) >> ss_h, m_sk, width=16))
-            st["l_unnz"] = st["l_unnz"].at[:, pl].set(
-                splat1(st["l_unnz"][:, pl], lu0, zt,
-                       (bh4 * 2) >> ss_v, m_sk, width=16))
+        emit_rec = m_blkdone
+        do_ctx_nonkf = m_blkdone if inter else jnp.zeros((S,), bool)
+        m_sk = m_blkdone & (b_skip == 1)
+        st = zero_nnz(st, m_sk, bc, row7, bw4, bh4)
         st["phase"] = jnp.where(m_sk, PART,
-                                jnp.where(mm, COEF, st["phase"]))
-        st["c_pl"] = jnp.where(mm, 0, st["c_pl"])
-        st["c_x"] = jnp.where(mm, 0, st["c_x"])
-        st["c_y"] = jnp.where(mm, 0, st["c_y"])
-        st["c_init"] = jnp.where(mm, 1, st["c_init"])
-        st["c_modeidx"] = jnp.where(mm, 0, st["c_modeidx"])
+                                jnp.where(m_blkdone, COEF,
+                                          st["phase"]))
+        st["c_pl"] = jnp.where(m_blkdone, 0, st["c_pl"])
+        st["c_x"] = jnp.where(m_blkdone, 0, st["c_x"])
+        st["c_y"] = jnp.where(m_blkdone, 0, st["c_y"])
+        st["c_init"] = jnp.where(m_blkdone, 1, st["c_init"])
+        st["c_modeidx"] = jnp.where(m_blkdone, 0, st["c_modeidx"])
+
+        # ============ MV quantum (inter lanes only) ============
+        # one quantum per (sub-block k, ref z): optional sub-block
+        # inter-mode tree, find_ref_mvs candidate scan, hp rounding,
+        # NEWMV joint+component reads (vp9block.c:626-677, vp9mvs.c)
+        if inter:
+            phase = st["phase"]
+            mk = (phase == MV) & ~entered_mv
+            k = st["mv_k"]
+            z = st["mv_z"]
+            br, bc, bs = st["b_r"], st["b_c"], st["b_bs"]
+            row7 = br & 7
+            sub8 = bs > 9
+            m_dmode = mk & sub8 & (z == 0)
+            rac, mdk = _rac_tree(
+                rac, half16, _IMTREE, _IMDEPTH,
+                jnp.asarray(aux["mvmodep"])[
+                    jnp.clip(st["b_modectx"], 0, 6)], m_dmode)
+            if want_counts:
+                km_ = jnp.where(
+                    m_dmode,
+                    CNT_OFF["mv_mode"]
+                    + jnp.clip(st["b_modectx"], 0, 6) * 4
+                    + jnp.clip(mdk - 10, 0, 3), big)
+                st["cnts"] = st["cnts"].at[lane, km_].add(1,
+                                                          mode="drop")
+            kc = jnp.clip(k, 0, 3)
+            bmcur = st["b_modes"][lane, kc]
+            st["b_modes"] = st["b_modes"].at[lane, kc].set(
+                jnp.where(m_dmode, mdk, bmcur))
+            mode_k = st["b_modes"][lane, kc]
+            is_zmv = mode_k == 12
+            m_scan = mk & ~is_zmv
+            idxn = (mode_k == 11).astype(jnp.int32)     # NEARMV
+            sbp = jnp.where(mode_k == 13, -1,
+                            jnp.where(sub8, k, -1))
+            refz = st["b_ref"][lane, jnp.clip(z, 0, 1)]
+
+            # ---- find_ref_mvs slot walk (vp9mvs.c:37-234) ----
+            bw4_ = bwh[1, jnp.clip(bs, 0, 12), 0]
+            bh4_ = bwh[1, jnp.clip(bs, 0, 12), 1]
+            minx = -(128 + bc * 64)
+            miny = -(128 + br * 64)
+            maxx = 128 + (cols - bc - bw4_) * 64
+            maxy = 128 + (rows - br - bh4_) * 64
+            pmv_t = jnp.asarray(aux["prev_mv"])
+            pref_t = jnp.asarray(aux["prev_ref"])
+            gmv = st["g_mv"]
+            gref = st["g_ref"]
+            pi = jnp.clip(br * cols + bc, 0, gmax - 1)
+
+            def scan_body(j, carry):
+                (found, rx, ry, msets, mx, my, m8s, m8x, m8y) = carry
+                kind = kinds_t[j]
+                par = pars_t[j]
+                off = ptab[jnp.clip(bs, 0, 12), par]
+                nc = bc + off[:, 0]
+                nr = br + off[:, 1]
+                nb_ok = (nc >= c0l) & (nc < cols) & (nr >= 0) \
+                    & (nr < rows)
+                gi = jnp.clip(nr * cols + nc, 0, gmax - 1)
+                gr0 = gref[gi, 0]
+                gr1 = gref[gi, 1]
+                gv0 = gmv[gi, 0]
+                gv1 = gmv[gi, 1]
+                ai = jnp.clip((br - 1) * cols + bc, 0, gmax - 1)
+                li = jnp.clip(br * cols + bc - 1, 0, gmax - 1)
+                ar0, ar1_ = gref[ai, 0], gref[ai, 1]
+                lr0, lr1_ = gref[li, 0], gref[li, 1]
+                sb_c = jnp.clip(sbp, 0, 3)
+                amv = st["a_mv"][lane,
+                                 jnp.clip(2 * bc + (sb_c & 1), 0,
+                                          2 * maxc + 15)]
+                lmv = st["l_mv"][lane,
+                                 jnp.clip(2 * row7 + (sb_c >> 1), 0,
+                                          15)]
+                pr0, pr1 = pref_t[pi, 0], pref_t[pi, 1]
+                pv0, pv1 = pmv_t[pi, 0], pmv_t[pi, 1]
+                dval = st["b_mv"][lane, jnp.clip(par, 0, 3),
+                                  jnp.clip(z, 0, 1)]
+                act = jnp.where(
+                    kind == 0,
+                    jnp.where(par == 0, sbp >= 1, sbp == 3),
+                    jnp.where(kind == 1, (sbp >= 0) & (br > 0),
+                    jnp.where(kind == 2, (sbp >= 0) & (bc > c0l),
+                    jnp.where(kind == 3,
+                              ((sbp < 0) | (par >= 2)) & nb_ok,
+                    jnp.where((kind == 5) | (kind == 6), nb_ok,
+                              use_prev == 1)))))
+                h1 = (ar0 == refz) | (ar1_ == refz)
+                v1 = jnp.where((ar0 == refz)[:, None], amv[:, 0],
+                               amv[:, 1])
+                h2 = (lr0 == refz) | (lr1_ == refz)
+                v2 = jnp.where((lr0 == refz)[:, None], lmv[:, 0],
+                               lmv[:, 1])
+                h3 = (gr0 == refz) | (gr1 == refz)
+                v3 = jnp.where((gr0 == refz)[:, None], gv0, gv1)
+                h4 = (pr0 == refz) | (pr1 == refz)
+                v4 = jnp.where((pr0 == refz)[:, None], pv0, pv1)
+                h5 = (gr0 >= 0) & (gr0 != refz)
+                h6 = (gr1 >= 0) & (gr1 != refz) \
+                    & ((gv0[:, 0] != gv1[:, 0])
+                       | (gv0[:, 1] != gv1[:, 1]))
+                h7 = (pr0 >= 0) & (pr0 != refz)
+                h8 = (pr1 >= 0) & (pr1 != refz) \
+                    & ((pv0[:, 0] != pv1[:, 0])
+                       | (pv0[:, 1] != pv1[:, 1]))
+                sb_ref = sbias[jnp.clip(refz, 0, 2)]
+                fl5 = sbias[jnp.clip(gr0, 0, 2)] != sb_ref
+                fl6 = sbias[jnp.clip(gr1, 0, 2)] != sb_ref
+                fl7 = sbias[jnp.clip(pr0, 0, 2)] != sb_ref
+                fl8 = sbias[jnp.clip(pr1, 0, 2)] != sb_ref
+                present = jnp.where(
+                    kind == 0, True,
+                    jnp.where(kind == 1, h1,
+                    jnp.where(kind == 2, h2,
+                    jnp.where(kind == 3, h3,
+                    jnp.where(kind == 4, h4,
+                    jnp.where(kind == 5, h5,
+                    jnp.where(kind == 6, h6,
+                    jnp.where(kind == 7, h7, h8))))))))
+                vx = jnp.where(
+                    kind == 0, dval[:, 0],
+                    jnp.where(kind == 1, v1[:, 0],
+                    jnp.where(kind == 2, v2[:, 0],
+                    jnp.where(kind == 3, v3[:, 0],
+                    jnp.where(kind == 4, v4[:, 0],
+                    jnp.where(kind == 5, gv0[:, 0],
+                    jnp.where(kind == 6, gv1[:, 0],
+                    jnp.where(kind == 7, pv0[:, 0], pv1[:, 0]))))))))
+                vy = jnp.where(
+                    kind == 0, dval[:, 1],
+                    jnp.where(kind == 1, v1[:, 1],
+                    jnp.where(kind == 2, v2[:, 1],
+                    jnp.where(kind == 3, v3[:, 1],
+                    jnp.where(kind == 4, v4[:, 1],
+                    jnp.where(kind == 5, gv0[:, 1],
+                    jnp.where(kind == 6, gv1[:, 1],
+                    jnp.where(kind == 7, pv0[:, 1], pv1[:, 1]))))))))
+                flip = jnp.where(
+                    kind == 5, fl5,
+                    jnp.where(kind == 6, fl6,
+                    jnp.where(kind == 7, fl7,
+                    jnp.where(kind == 8, fl8, False))))
+                vx = jnp.where(flip, -vx, vx)
+                vy = jnp.where(flip, -vy, vy)
+                proc = m_scan & act & present & ~found
+                is_dir = kind == 0
+                # RETURN_DIRECT_MV: unclamped; idx 0 returns first
+                d_ret0 = proc & is_dir & (idxn == 0)
+                d_memnew = proc & is_dir & (idxn == 1) & ~msets
+                d_diff = proc & is_dir & (idxn == 1) & msets \
+                    & ((vx != mx) | (vy != my))
+                # RETURN_MV: clamped result; sb>0 has the two-stage
+                # mem_sub8x8 compare incl. the libvpx zero-return bug
+                cx_ = jnp.clip(vx, minx, maxx)
+                cy_ = jnp.clip(vy, miny, maxy)
+                memdif = ~msets | ((cx_ != mx) | (cy_ != my))
+                nd = proc & ~is_dir
+                sbpos = sbp > 0
+                s_first = nd & sbpos & ~m8s
+                s_hit1 = s_first & memdif
+                s_mem8 = s_first & ~memdif
+                s_sec = nd & sbpos & m8s & ((vx != m8x) | (vy != m8y))
+                s_hit2 = s_sec & memdif
+                s_zero = s_sec & ~memdif
+                n_idx0 = nd & ~sbpos & (idxn == 0)
+                n_memnew = nd & ~sbpos & (idxn == 1) & ~msets
+                n_diff = nd & ~sbpos & (idxn == 1) & msets \
+                    & ((vx != mx) | (vy != my))
+                newfound = d_ret0 | d_diff | s_hit1 | s_hit2 \
+                    | s_zero | n_idx0 | n_diff
+                hitc = s_hit1 | s_hit2 | n_idx0 | n_diff
+                nrx = jnp.where(d_ret0 | d_diff, vx,
+                                jnp.where(hitc, cx_,
+                                          jnp.where(s_zero, 0, rx)))
+                nry = jnp.where(d_ret0 | d_diff, vy,
+                                jnp.where(hitc, cy_,
+                                          jnp.where(s_zero, 0, ry)))
+                nmx = jnp.where(d_memnew | n_memnew, vx, mx)
+                nmy = jnp.where(d_memnew | n_memnew, vy, my)
+                nmsets = msets | d_memnew | n_memnew
+                nm8x = jnp.where(s_mem8, vx, m8x)
+                nm8y = jnp.where(s_mem8, vy, m8y)
+                nm8s = m8s | s_mem8
+                return (found | newfound, nrx, nry, nmsets, nmx, nmy,
+                        nm8s, nm8x, nm8y)
+
+            zb = jnp.zeros((S,), bool)
+            zi = jnp.zeros((S,), jnp.int32)
+            found, rx, ry, _ms, _mx, _my, _m8, _x8, _y8 = \
+                jax.lax.fori_loop(0, _NSLOTS, scan_body,
+                                  (zb, zi, zi, zb, zi, zi, zb, zi, zi))
+            rx = jnp.where(found, rx, jnp.clip(zi, minx, maxx))
+            ry = jnp.where(found, ry, jnp.clip(zi, miny, maxy))
+
+            # hp + rounding (vp9mvs.c:291-321)
+            do_rnd = (mode_k == 13) | ~sub8
+            hp = (highprec == 1) & (jnp.abs(rx) < 64) \
+                & (jnp.abs(ry) < 64)
+            m_rnd = m_scan & do_rnd & ~hp
+            ry = jnp.where(m_rnd & ((ry & 1) == 1),
+                           ry + jnp.where(ry < 0, 1, -1), ry)
+            rx = jnp.where(m_rnd & ((rx & 1) == 1),
+                           rx + jnp.where(rx < 0, 1, -1), rx)
+            m_new = mk & (mode_k == 13)
+            jp = jnp.broadcast_to(
+                jnp.asarray(aux["mvjointp"])[None, :], (S, 3))
+            rac, jnt = _rac_tree(rac, half16, _JTREE, _JDEPTH, jp,
+                                 m_new)
+            if want_counts:
+                jc_ = jnp.where(m_new, CNT_OFF["mv_joint"]
+                                + jnp.clip(jnt, 0, 3), big)
+                st["cnts"] = st["cnts"].at[lane, jc_].add(1,
+                                                          mode="drop")
+            m_cy = m_new & (jnt >= 2)
+            rac, dy, st = _read_mv_comp(rac, half16, aux, st, lane,
+                                        m_cy, 0, hp, want_counts,
+                                        big, S)
+            m_cx = m_new & ((jnt & 1) == 1)
+            rac, dx, st = _read_mv_comp(rac, half16, aux, st, lane,
+                                        m_cx, 1, hp, want_counts,
+                                        big, S)
+            ry = jnp.where(m_cy, ry + dy, ry)
+            rx = jnp.where(m_cx, rx + dx, rx)
+            mvx = jnp.where(is_zmv, 0, rx)
+            mvy = jnp.where(is_zmv, 0, ry)
+
+            # store; ZEROMV zeroes both ref slots in one quantum
+            cur = st["b_mv"][lane, kc]                  # [S,2,2]
+            sel_z = jnp.arange(2)[None, :] == jnp.clip(z, 0, 1)[:, None]
+            newpair = jnp.stack([mvx, mvy], -1)
+            upd = jnp.where(sel_z[:, :, None], newpair[:, None, :],
+                            cur)
+            upd = jnp.where(is_zmv[:, None, None], 0, upd)
+            st["b_mv"] = st["b_mv"].at[lane, kc].set(
+                jnp.where(mk[:, None, None], upd, cur))
+
+            # advance (k, z)
+            go_z1 = mk & (st["b_comp"] == 1) & (z == 0) & ~is_zmv
+            stepk = jnp.where(bs == 10, 2, 1)
+            lastk = jnp.where(bs == 12, 3,
+                              jnp.where(bs == 11, 1,
+                                        jnp.where(bs == 10, 2, 0)))
+            nk = k + stepk
+            m_next = mk & ~go_z1 & (nk <= lastk) & sub8
+            fin = mk & ~go_z1 & ~m_next
+            st["mv_z"] = jnp.where(go_z1, 1,
+                                   jnp.where(mk, 0, st["mv_z"]))
+            st["mv_k"] = jnp.where(m_next, nk, st["mv_k"])
+
+            # finalize: propagate shared sub-block slots
+            # (vp9block.c:732-766), then the block's skip/coef path
+            csrc_t = jnp.asarray(np.asarray(
+                [[0, 0, 0, 0]] * 10 + [[0, 0, 2, 2], [0, 1, 0, 1],
+                                       [0, 1, 2, 3]], np.int32))
+            src = csrc_t[jnp.clip(bs, 0, 12)]
+            gmv_c = st["b_mv"][lane[:, None], src]
+            st["b_mv"] = jnp.where(fin[:, None, None, None], gmv_c,
+                                   st["b_mv"])
+            gmd_c = st["b_modes"][lane[:, None], src]
+            st["b_modes"] = jnp.where(fin[:, None], gmd_c,
+                                      st["b_modes"])
+            fin_skip = fin & (st["b_skip"] == 1)
+            fin_coef = fin & (st["b_skip"] == 0)
+            bw4f = bwh[1, jnp.clip(bs, 0, 12), 0]
+            bh4f = bwh[1, jnp.clip(bs, 0, 12), 1]
+            st = zero_nnz(st, fin_skip, bc, row7, bw4f, bh4f)
+            st["phase"] = jnp.where(fin_skip, PART,
+                                    jnp.where(fin_coef, COEF,
+                                              st["phase"]))
+            st["c_pl"] = jnp.where(fin, 0, st["c_pl"])
+            st["c_x"] = jnp.where(fin, 0, st["c_x"])
+            st["c_y"] = jnp.where(fin, 0, st["c_y"])
+            st["c_init"] = jnp.where(fin_coef, 1, st["c_init"])
+            st["c_modeidx"] = jnp.where(fin, 0, st["c_modeidx"])
+            st["b_anycoef"] = jnp.where(fin, 0, st["b_anycoef"])
+            entered_coef = fin_coef
+            emit_rec = emit_rec | fin_skip
+            do_ctx_nonkf = do_ctx_nonkf | fin
+        else:
+            entered_coef = jnp.zeros((S,), bool)
 
         # ============ COEF quantum ============
         phase = st["phase"]
-        mc = (phase == COEF) & ~mm & ~emit_block
+        mc = (phase == COEF) & ~mm & ~emit_block & ~entered_coef
         br, bc = st["b_r"], st["b_c"]
         row7 = br & 7
         bs = st["b_bs"]
@@ -1105,13 +1938,24 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         midx = jnp.where((bs > 9) & (b_tx == 0), st["c_modeidx"], 0)
         mode_i = jnp.take_along_axis(
             st["b_modes"], jnp.clip(midx, 0, 3)[:, None], 1)[:, 0]
-        txtp = jnp.where(is_y, itx_t[jnp.clip(mode_i, 0, 9)], 0)
+        # inter modes (10-13) map to DCT_DCT via the same 14-entry
+        # table (ff_vp9_intra_txfm_type, vp9data.c:437)
+        txtp = jnp.where(is_y, itx_t[jnp.clip(mode_i, 0, 13)], 0)
         scfg = (4 * lossless + tx_p) * 4 + txtp
         band = bands_t[jnp.clip(tx_p, 0, 3), jnp.clip(i, 0, 1023)]
         ctx = st["c_nnz"]
-        prow_idx = tx_p * 2 + (1 - is_y.astype(jnp.int32))
-        tp = coef11[jnp.clip(prow_idx, 0, 7),
-                    jnp.clip(band * 6 + ctx, 0, 35)]    # [S, 11]
+        if inter:
+            isin = 1 - st["b_intra"]
+            prow_idx = (tx_p * 2
+                        + (1 - is_y.astype(jnp.int32))) * 2 + isin
+            tp = jnp.asarray(aux["coef11i"])[
+                jnp.clip(prow_idx, 0, 15),
+                jnp.clip(band * 6 + ctx, 0, 35)]        # [S, 11]
+        else:
+            isin = jnp.zeros((S,), jnp.int32)
+            prow_idx = tx_p * 2 + (1 - is_y.astype(jnp.int32))
+            tp = coef11[jnp.clip(prow_idx, 0, 7),
+                        jnp.clip(band * 6 + ctx, 0, 35)]  # [S, 11]
 
         def tpk(k):
             return tp[:, k]
@@ -1147,7 +1991,7 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
             # when each symbol was read (vp9block.c: eobcnt at every
             # eob probe; cnt[0/1/2] per token class)
             prow5 = (jnp.clip(tx_p, 0, 3) * 2
-                     + (1 - is_y.astype(jnp.int32))) * 2  # is_inter=0
+                     + (1 - is_y.astype(jnp.int32))) * 2 + isin
             bc36 = jnp.clip(band * 6 + ctx, 0, 35)
             e_idx = jnp.where(m_eob,
                               CNT_EOB + (prow5 * 36 + bc36) * 2 + bb,
@@ -1317,6 +2161,153 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         st["phase"] = jnp.where(all_done, PART, st["phase"])
         st["c_init"] = jnp.where(m_fin & ~all_done, 1, st["c_init"])
         st["c_done"] = jnp.where(m_fin, 0, st["c_done"])
+        if inter:
+            # retroactive skip for coefficient-free >=8x8 inter blocks
+            # (vp9block.c:1310-1314): flag + CLIPPED skip-ctx splat;
+            # the block record (emitted below) carries the final skip
+            st["b_anycoef"] = jnp.where(m_fin & (ret > 0), 1,
+                                        st["b_anycoef"])
+            w4r = jnp.minimum(cols - bc, bwh[1, jnp.clip(bs, 0, 12), 0])
+            h4r = jnp.minimum(rows - br, bwh[1, jnp.clip(bs, 0, 12), 1])
+            retro = all_done & (st["b_intra"] == 0) & (bs <= 9) \
+                & (st["b_anycoef"] == 0)
+            onev_ = jnp.ones((S,), jnp.int32)
+            st["b_skip"] = jnp.where(retro, 1, st["b_skip"])
+            st["a_skip"] = splat1(st["a_skip"], bc, onev_, w4r, retro)
+            st["l_skip"] = splat1(st["l_skip"], row7, onev_, h4r,
+                                  retro)
+            emit_rec = emit_rec | (all_done & (st["b_intra"] == 0))
+
+            # ===== deferred non-keyframe SET_CTXS + grid write-back
+            # (vp9block.c:682-801) for lanes whose mode bundle became
+            # final this quantum =====
+            brf, bcf = st["b_r"], st["b_c"]
+            bsf = st["b_bs"]
+            row7f = brf & 7
+            nwf = bwh[1, jnp.clip(bsf, 0, 12), 0]
+            nhf = bwh[1, jnp.clip(bsf, 0, 12), 1]
+            w4cf = jnp.minimum(cols - bcf, nwf)
+            h4cf = jnp.minimum(rows - brf, nhf)
+            dcx = do_ctx_nonkf
+            bi_ = st["b_intra"]
+            bcm = st["b_comp"]
+            mode3v = st["b_modes"][:, 3]
+            st["a_intra"] = splat1(st["a_intra"], bcf, bi_, nwf, dcx)
+            st["a_comp"] = splat1(st["a_comp"], bcf, bcm, nwf, dcx)
+            st["a_mode"] = splat1(st["a_mode"], bcf, mode3v, nwf, dcx)
+            st["l_intra"] = splat1(st["l_intra"], row7f, bi_, nhf, dcx)
+            st["l_comp"] = splat1(st["l_comp"], row7f, bcm, nhf, dcx)
+            st["l_mode"] = splat1(st["l_mode"], row7f, mode3v, nhf,
+                                  dcx)
+            vidx = sbias[jnp.clip(varref0, 0, 2)]
+            vref = jnp.where(bcm == 1,
+                             st["b_ref"][lane, jnp.clip(vidx, 0, 1)],
+                             st["b_ref"][:, 0])
+            m_refctx = dcx & (bi_ == 0)
+            st["a_ref"] = splat1(st["a_ref"], bcf, vref, nwf, m_refctx)
+            st["l_ref"] = splat1(st["l_ref"], row7f, vref, nhf,
+                                 m_refctx)
+            m_fctx = m_refctx & (filtermode == 4)
+            st["a_filter"] = splat1(st["a_filter"], bcf,
+                                    st["b_filterid"], nwf, m_fctx)
+            st["l_filter"] = splat1(st["l_filter"], row7f,
+                                    st["b_filterid"], nhf, m_fctx)
+            # mv ctx (vp9block.c:770-800); intra positions never read
+            # (their grid refs are -1 and never match a candidate)
+            mv3 = st["b_mv"][:, 3]
+            mv1_ = st["b_mv"][:, 1]
+            mv2_ = st["b_mv"][:, 2]
+            sub8f = bsf > 9
+            m_mvctx = dcx & (bi_ == 0)
+            amvc = st["a_mv"]
+            lmvc = st["l_mv"]
+            m_splmv = m_mvctx & ~sub8f
+            k16 = jnp.arange(16)[None, :]
+            oks = m_splmv[:, None] & (k16 < (2 * w4cf)[:, None])
+            tgt = jnp.where(oks, 2 * bcf[:, None] + k16, big)
+            amvc = amvc.at[lane[:, None], tgt].set(
+                jnp.broadcast_to(mv3[:, None], (S, 16, 2, 2)),
+                mode="drop")
+            okl = m_splmv[:, None] & (k16 < (2 * h4cf)[:, None])
+            tgtl = jnp.where(okl, 2 * row7f[:, None] + k16, big)
+            lmvc = lmvc.at[lane[:, None], tgtl].set(
+                jnp.broadcast_to(mv3[:, None], (S, 16, 2, 2)),
+                mode="drop")
+            m_s8 = m_mvctx & sub8f
+            lmvc = lmvc.at[lane, jnp.where(m_s8, 2 * row7f, big)].set(
+                mv1_, mode="drop")
+            lmvc = lmvc.at[lane,
+                           jnp.where(m_s8, 2 * row7f + 1, big)].set(
+                mv3, mode="drop")
+            amvc = amvc.at[lane, jnp.where(m_s8, 2 * bcf, big)].set(
+                mv2_, mode="drop")
+            amvc = amvc.at[lane,
+                           jnp.where(m_s8, 2 * bcf + 1, big)].set(
+                mv3, mode="drop")
+            st["a_mv"] = amvc
+            st["l_mv"] = lmvc
+            # frame MV/ref grids over the clipped block area
+            kyy = jnp.arange(8)[None, :, None]
+            kxx = jnp.arange(8)[None, None, :]
+            okgw = dcx[:, None, None] & (kyy < h4cf[:, None, None]) \
+                & (kxx < w4cf[:, None, None])
+            gidx = jnp.where(okgw,
+                             (brf[:, None, None] + kyy) * cols
+                             + bcf[:, None, None] + kxx, big)
+            r0g = jnp.where(bi_ == 1, -1, st["b_ref"][:, 0])
+            r1g = jnp.where((bi_ == 0) & (bcm == 1),
+                            st["b_ref"][:, 1], -1)
+            gref_ = st["g_ref"]
+            gref_ = gref_.at[gidx, 0].set(
+                jnp.broadcast_to(r0g[:, None, None], (S, 8, 8)),
+                mode="drop")
+            gref_ = gref_.at[gidx, 1].set(
+                jnp.broadcast_to(r1g[:, None, None], (S, 8, 8)),
+                mode="drop")
+            st["g_ref"] = gref_
+            m_mv0 = dcx & (bi_ == 0)
+            g0idx = jnp.where(m_mv0[:, None, None], gidx, big)
+            gmv_o = st["g_mv"]
+            gmv_o = gmv_o.at[g0idx, 0].set(
+                jnp.broadcast_to(mv3[:, None, None, 0], (S, 8, 8, 2)),
+                mode="drop")
+            m_mv1 = m_mv0 & (bcm == 1)
+            g1idx = jnp.where(m_mv1[:, None, None], gidx, big)
+            gmv_o = gmv_o.at[g1idx, 1].set(
+                jnp.broadcast_to(mv3[:, None, None, 1], (S, 8, 8, 2)),
+                mode="drop")
+            st["g_mv"] = gmv_o
+
+        # ===== emit finished block records (native 34-col layout) ====
+        if inter:
+            intra_v = st["b_intra"]
+            comp_v = st["b_comp"]
+            ref0v = st["b_ref"][:, 0]
+            ref1v = st["b_ref"][:, 1]
+            filtv = st["b_filter"]
+            mvflat = st["b_mv"].reshape(S, 16)
+        else:
+            onevr = jnp.ones((S,), jnp.int32)
+            zvr = jnp.zeros((S,), jnp.int32)
+            intra_v, comp_v, ref0v, ref1v, filtv = \
+                onevr, zvr, zvr, zvr, zvr
+            mvflat = jnp.zeros((S, 16), jnp.int32)
+        recf = jnp.concatenate([
+            jnp.stack([st["b_r"], st["b_c"], c0l, st["b_bs"],
+                       st["b_seg"], st["b_skip"], intra_v, st["b_tx"],
+                       st["b_uvtx"]], 1),
+            st["b_modes"],
+            jnp.stack([st["b_uvmode"], comp_v, ref0v, ref1v, filtv],
+                      1),
+            mvflat], axis=1)
+        bi2 = jnp.where(emit_rec, st["nblk"], big)
+        st["blocks"] = st["blocks"].at[
+            lane, jnp.clip(bi2, 0, bmax - 1)].set(
+            jnp.where(emit_rec[:, None] & (bi2 < bmax)[:, None], recf,
+                      st["blocks"][lane, jnp.clip(bi2, 0, bmax - 1)]))
+        st["nblk"] = jnp.where(emit_rec, st["nblk"] + 1, st["nblk"])
+        st["err"] = st["err"] | jnp.where(emit_rec & (bi2 >= bmax),
+                                          1, 0)
 
         st["rac"] = rac
         return st
