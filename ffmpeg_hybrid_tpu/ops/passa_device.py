@@ -550,8 +550,9 @@ def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
         jnp.asarray(inputs["segprob"]), jnp.asarray(inputs["scans"]),
         jnp.asarray(inputs["nbs"]),
         jnp.int32(rows), jnp.int32(cols), jnp.int32(meta["sb_cols"]),
+        jnp.int32(meta["txfmmode"]),
         seg=meta["seg"],
-        txfmmode=meta["txfmmode"], lossless=meta["lossless"],
+        lossless=meta["lossless"],
         bpp=meta["bpp"], ss_h=meta["ss_h"], ss_v=meta["ss_v"],
         bmax=bmax, cmax=cmax, emax=emax, maxc=maxc,
         want_counts=meta.get("want_counts", 0),
@@ -599,14 +600,15 @@ def counts_from_device(cnt_lanes, out):
     return out
 
 
-@partial(jax.jit, static_argnames=("seg", "txfmmode",
+@partial(jax.jit, static_argnames=("seg",
                                    "lossless", "bpp", "ss_h", "ss_v",
                                    "bmax", "cmax", "emax", "maxc",
                                    "want_counts", "inter", "gmax"))
 def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                 coef11, qmul, skipseg, segprob, scans, nbs,
                 rows, cols, sb_cols,
-                seg, txfmmode, lossless, bpp, ss_h, ss_v,
+                txfmmode,
+                seg, lossless, bpp, ss_h, ss_v,
                 bmax, cmax, emax, maxc=MAXC, want_counts=0,
                 inter=0, gmax=1, aux=None):
     S = bounds.shape[0]
@@ -965,565 +967,6 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
         w4 = jnp.minimum(cols - bc, bw4)
         h4 = jnp.minimum(rows - br, bh4)
 
-        # --- seg id ---
-        if inter:
-            # non-intra frame (vp9block.c:101-142): optional temporal
-            # prediction of the seg id from the previous frame's map
-            spctx = (getcol(st["a_segpred"], bc)
-                     + getcol(st["l_segpred"], row7))
-            m_pred = mm & (seg_en == 1) & (seg_upd == 1) & (seg_tmp == 1)
-            rac, predbit = _rac_get_prob(
-                rac, half16,
-                jnp.asarray(aux["segpredp"])[jnp.clip(spctx, 0, 2)],
-                m_pred)
-            use_pred = (seg_en == 1) & ((seg_upd == 0)
-                                        | ((seg_tmp == 1)
-                                           & (predbit == 1)))
-            m_tree = mm & (seg_en == 1) & (seg_upd == 1) \
-                & ~((seg_tmp == 1) & (predbit == 1))
-            segp = jnp.broadcast_to(segprob[None, :], (S, 7))
-            rac, seg_tree = _rac_tree(rac, half16, _STREE, _SDEPTH,
-                                      segp, m_tree)
-            # predicted id = min of the previous map over the CLIPPED
-            # block area (blockdec.py:261-263)
-            w4c8 = jnp.minimum(cols - bc, bwh[1, jnp.clip(bs, 0, 12), 0])
-            h4c8 = jnp.minimum(rows - br, bwh[1, jnp.clip(bs, 0, 12), 1])
-            kyy = jnp.arange(8)[None, :, None]
-            kxx = jnp.arange(8)[None, None, :]
-            okg = (kyy < h4c8[:, None, None]) & (kxx < w4c8[:, None, None])
-            gseg = (br[:, None, None] + kyy) * cols \
-                + (bc[:, None, None] + kxx)
-            pvals = jnp.asarray(aux["prev_seg"])[
-                jnp.clip(gseg, 0, gmax - 1)]
-            pred_seg = jnp.min(jnp.where(okg, pvals, 8), axis=(1, 2))
-            pred_seg = jnp.where(have_pseg == 1, pred_seg, 0)
-            seg_id = jnp.where(use_pred, pred_seg,
-                               jnp.where(m_tree, seg_tree, 0))
-            # segpred ctx splat (clipped; only when seg enabled)
-            m_spl = mm & (seg_en == 1)
-            st["a_segpred"] = splat1(st["a_segpred"], bc,
-                                     use_pred.astype(jnp.int32),
-                                     w4c8, m_spl)
-            st["l_segpred"] = splat1(st["l_segpred"], row7,
-                                     use_pred.astype(jnp.int32),
-                                     h4c8, m_spl)
-        elif seg:
-            segp = jnp.broadcast_to(segprob[None, :], (S, 7))
-            rac, seg_id = _rac_tree(rac, half16, _STREE, _SDEPTH,
-                                    segp, mm)
-        else:
-            seg_id = z0
-        st["b_seg"] = jnp.where(mm, seg_id, st["b_seg"])
-
-        # --- skip ---
-        forced_skip = jnp.take(skipseg, jnp.clip(seg_id, 0, 7)) == 1
-        sctx = getcol(st["l_skip"], row7) + getcol(st["a_skip"], bc)
-        m_skipbit = mm & ~forced_skip
-        rac, skipbit = _rac_get_prob(
-            rac, half16, jnp.take(skipp, jnp.clip(sctx, 0, 2)),
-            m_skipbit)
-        b_skip = jnp.where(forced_skip, 1, skipbit)
-        st["b_skip"] = jnp.where(mm, b_skip, st["b_skip"])
-        if want_counts:
-            s_idx = jnp.where(
-                m_skipbit,
-                CNT_OFF["skip"] + jnp.clip(sctx, 0, 2) * 2 + skipbit,
-                big)
-            st["cnts"] = st["cnts"].at[lane, s_idx].add(1, mode="drop")
-
-        # --- intra/inter flag (vp9block.c:283-298) ---
-        if inter:
-            rs_en = jnp.take(jnp.asarray(aux["refseg_en"]),
-                             jnp.clip(seg_id, 0, 7)) == 1
-            rs_val = jnp.take(jnp.asarray(aux["refseg_val"]),
-                              jnp.clip(seg_id, 0, 7))
-            a_in = getcol(st["a_intra"], bc)
-            l_in = getcol(st["l_intra"], row7)
-            have_a = br > 0
-            have_l = bc > c0l
-            ctx_i = jnp.where(
-                have_a & have_l,
-                a_in + l_in + ((a_in + l_in) == 2).astype(jnp.int32),
-                jnp.where(have_a, 2 * a_in,
-                          jnp.where(have_l, 2 * l_in, 0)))
-            m_ibit = mm & ~rs_en
-            rac, ibit = _rac_get_prob(
-                rac, half16,
-                jnp.asarray(aux["intrap"])[jnp.clip(ctx_i, 0, 3)],
-                m_ibit)
-            b_intra = jnp.where(rs_en, (rs_val == 0).astype(jnp.int32),
-                                1 - ibit)
-            st["b_intra"] = jnp.where(mm, b_intra, st["b_intra"])
-            if want_counts:
-                i_idx = jnp.where(
-                    m_ibit,
-                    CNT_OFF["intra"] + jnp.clip(ctx_i, 0, 3) * 2 + ibit,
-                    big)
-                st["cnts"] = st["cnts"].at[lane, i_idx].add(
-                    1, mode="drop")
-        else:
-            b_intra = jnp.ones((S,), jnp.int32)
-
-        # --- tx size ---
-        mtx = maxtx_t[jnp.clip(bs, 0, 12)]
-        have_a = br > 0
-        have_l = bc > c0l
-        a_sk = getcol(st["a_skip"], bc)
-        l_sk = getcol(st["l_skip"], row7)
-        a_t = jnp.where(a_sk == 1, mtx, getcol(st["a_txfm"], bc))
-        l_t = jnp.where(l_sk == 1, mtx, getcol(st["l_txfm"], row7))
-        txctx = jnp.where(
-            have_a & have_l, (a_t + l_t > mtx).astype(jnp.int32),
-            jnp.where(have_a,
-                      jnp.where(a_sk == 1, 1,
-                                (a_t * 2 > mtx).astype(jnp.int32)),
-                      jnp.where(have_l,
-                                jnp.where(l_sk == 1, 1,
-                                          (l_t * 2 > mtx)
-                                          .astype(jnp.int32)),
-                                1)))
-        # tx coded when (intra or !skip) and switchable — keyframes
-        # are all-intra, so there it is coded whenever switchable
-        sel_tx = mm & (txfmmode == 4)
-        if inter:
-            sel_tx = sel_tx & ((b_intra == 1) | (b_skip == 0))
-        m32 = sel_tx & (mtx == 3)
-        p32 = tx32p[jnp.clip(txctx, 0, 1)]
-        rac, t0 = _rac_get_prob(rac, half16, p32[:, 0], m32)
-        m32b = m32 & (t0 == 1)
-        rac, t1 = _rac_get_prob(rac, half16, p32[:, 1], m32b)
-        m32c = m32b & (t1 == 1)
-        rac, t2 = _rac_get_prob(rac, half16, p32[:, 2], m32c)
-        tx_32 = t0 + t1 + t2
-        m16 = sel_tx & (mtx == 2)
-        p16 = tx16p[jnp.clip(txctx, 0, 1)]
-        rac, u0 = _rac_get_prob(rac, half16, p16[:, 0], m16)
-        m16b = m16 & (u0 == 1)
-        rac, u1 = _rac_get_prob(rac, half16, p16[:, 1], m16b)
-        tx_16 = u0 + u1
-        m8 = sel_tx & (mtx == 1)
-        p8 = tx8p[jnp.clip(txctx, 0, 1)]
-        rac, v0 = _rac_get_prob(rac, half16, p8[:, 0], m8)
-        b_tx = jnp.where(sel_tx,
-                         jnp.where(mtx == 3, tx_32,
-                                   jnp.where(mtx == 2, tx_16,
-                                             jnp.where(mtx == 1, v0,
-                                                       0))),
-                         jnp.minimum(mtx, txfmmode))
-        st["b_tx"] = jnp.where(mm, b_tx, st["b_tx"])
-        if want_counts:
-            c2 = jnp.clip(txctx, 0, 1)
-            tx_idx = jnp.where(
-                m32, CNT_OFF["tx32p"] + c2 * 4 + tx_32,
-                jnp.where(m16, CNT_OFF["tx16p"] + c2 * 3 + tx_16,
-                          jnp.where(m8, CNT_OFF["tx8p"] + c2 * 2 + v0,
-                                    big)))
-            st["cnts"] = st["cnts"].at[lane, tx_idx].add(1, mode="drop")
-        uvtx = b_tx - (((ss_h & (bw4 * 2 == (1 << b_tx))) |
-                        (ss_v & (bh4 * 2 == (1 << b_tx))))
-                       .astype(jnp.int32))
-        st["b_uvtx"] = jnp.where(mm, uvtx, st["b_uvtx"])
-
-        # --- modes ---
-        a0i, a1i = bc * 2, bc * 2 + 1
-        l0i, l1i = (row7) * 2, (row7) * 2 + 1
-        # bs indexing: larger index = smaller block (BS_8x8 == 9);
-        # the 4-slot per-4x4-mode path is for SUB-8x8 blocks
-        # (vp9block.c decode_mode_kf: b->bs > BS_8x8)
-        big_bs = bs > 9      # sub-8x8: per-4x4 mode slots
-        is_8x4 = bs == 10
-        is_4x8 = bs == 11
-        entered_mv = jnp.zeros((S,), bool)
-        m_blkdone = mm        # lanes whose mode bundle completes here
-
-        def ymode_slot(rac, msel, a_idx, l_from_a, l_idx):
-            av = getcol(st["a_mode"], a_idx)
-            lv = l_from_a if l_from_a is not None \
-                else getcol(st["l_mode"], l_idx)
-            probs = kf_ym[jnp.clip(av, 0, 9), jnp.clip(lv, 0, 9)]
-            return _rac_tree(rac, half16, _MTREE, _MDEPTH, probs, msel)
-
-        if inter:
-            # ===== non-keyframe modes (vp9block.c:331-802) =====
-            # intra blocks on an inter frame: fixed per-frame prob
-            # tables, no above/left coupling (vp9block.c:380-411)
-            m_iy = mm & (b_intra == 1)
-            m_blkdone = m_iy
-            ymp = jnp.asarray(aux["ymodep"])
-            uvmp = jnp.asarray(aux["uvmodep"])
-            yp0 = jnp.broadcast_to(ymp[0][None], (S, 9))
-            m_ibig = m_iy & big_bs
-            rac, i0 = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
-                                m_ibig)
-            m_i1 = m_ibig & ~is_8x4
-            rac, i1t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
-                                 m_i1)
-            i1 = jnp.where(is_8x4, i0, i1t)
-            m_i2 = m_ibig & ~is_4x8
-            rac, i2t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
-                                 m_i2)
-            i2 = jnp.where(is_4x8, i0, i2t)
-            m_i3 = m_ibig & ~is_4x8 & ~is_8x4
-            rac, i3t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
-                                 m_i3)
-            i3 = jnp.where(is_4x8, i1, jnp.where(is_8x4, i2, i3t))
-            m_ismall = m_iy & ~big_bs
-            szg = szg_t[jnp.clip(bs, 0, 12)]
-            rac, ism = _rac_tree(rac, half16, _MTREE, _MDEPTH,
-                                 ymp[jnp.clip(szg, 0, 3)], m_ismall)
-            mode0 = jnp.where(big_bs, i0, ism)
-            mode1 = jnp.where(big_bs, i1, ism)
-            mode2 = jnp.where(big_bs, i2, ism)
-            mode3 = jnp.where(big_bs, i3, ism)
-            modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
-            st["b_modes"] = jnp.where(m_iy[:, None], modes,
-                                      st["b_modes"])
-            uvp = uvmp[jnp.clip(mode3, 0, 9)]
-            rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp,
-                                    m_iy)
-            st["b_uvmode"] = jnp.where(m_iy, uvmode, st["b_uvmode"])
-            # intra blocks on inter frames set comp=0 explicitly
-            # (vp9block.c:381) — the comp ctx splat reads it
-            st["b_comp"] = jnp.where(m_iy, 0, st["b_comp"])
-            if want_counts:
-                for msl, mvv in ((m_ibig, i0), (m_i1, i1t),
-                                 (m_i2, i2t), (m_i3, i3t)):
-                    yy = jnp.where(msl, CNT_OFF["y_mode"]
-                                   + jnp.clip(mvv, 0, 9), big)
-                    st["cnts"] = st["cnts"].at[lane, yy].add(
-                        1, mode="drop")
-                ys = jnp.where(
-                    m_ismall,
-                    CNT_OFF["y_mode"] + jnp.clip(szg, 0, 3) * 10
-                    + jnp.clip(ism, 0, 9), big)
-                st["cnts"] = st["cnts"].at[lane, ys].add(1,
-                                                         mode="drop")
-                uvc = jnp.where(
-                    m_iy,
-                    CNT_OFF["uv_mode"] + jnp.clip(mode3, 0, 9) * 10
-                    + jnp.clip(uvmode, 0, 9), big)
-                st["cnts"] = st["cnts"].at[lane, uvc].add(1,
-                                                          mode="drop")
-
-            # ----- inter block: comp mode / reference selection
-            # (vp9block.c:331-575) -----
-            m_il = mm & (b_intra == 0)
-            a_cm = getcol(st["a_comp"], bc)
-            l_cm = getcol(st["l_comp"], row7)
-            a_rf = getcol(st["a_ref"], bc)
-            l_rf = getcol(st["l_ref"], row7)
-            m_segref = m_il & rs_en
-            m_free = m_il & ~rs_en
-
-            def i32_(b):
-                return b.astype(jnp.int32)
-
-            fix_eq_a = (a_in == 0) & (a_rf == fixref)
-            fix_eq_l = (l_in == 0) & (l_rf == fixref)
-            ctx_c = jnp.where(
-                have_a & have_l,
-                jnp.where((a_cm == 1) & (l_cm == 1), 4,
-                jnp.where(a_cm == 1,
-                          2 + i32_((l_in == 1) | (l_rf == fixref)),
-                jnp.where(l_cm == 1,
-                          2 + i32_((a_in == 1) | (a_rf == fixref)),
-                          i32_(fix_eq_a ^ fix_eq_l)))),
-                jnp.where(have_a,
-                          jnp.where(a_cm == 1, 3, i32_(fix_eq_a)),
-                jnp.where(have_l,
-                          jnp.where(l_cm == 1, 3, i32_(fix_eq_l)),
-                          1)))
-            m_csel = m_free & (comppredmode == 2)
-            rac, compbit = _rac_get_prob(
-                rac, half16,
-                jnp.asarray(aux["compp"])[jnp.clip(ctx_c, 0, 4)],
-                m_csel)
-            b_comp = jnp.where(
-                m_csel, compbit,
-                jnp.where(m_free, i32_(comppredmode == 1), 0))
-            st["b_comp"] = jnp.where(m_il, b_comp, st["b_comp"])
-            if want_counts:
-                cc_ = jnp.where(
-                    m_csel,
-                    CNT_OFF["comp"] + jnp.clip(ctx_c, 0, 4) * 2
-                    + compbit, big)
-                st["cnts"] = st["cnts"].at[lane, cc_].add(1,
-                                                          mode="drop")
-
-            # compound reference (vp9block.c:522-577)
-            fix_idx = sbias[jnp.clip(fixref, 0, 2)]
-            refl, refa = l_rf, a_rf
-            nn0 = jnp.where(
-                (refl == refa) & (refa == varref1), 0,
-                jnp.where((l_cm == 0) & (a_cm == 0),
-                    jnp.where(((refa == fixref) & (refl == varref0))
-                              | ((refl == fixref)
-                                 & (refa == varref0)), 4,
-                              jnp.where(refa == refl, 3, 1)),
-                jnp.where(l_cm == 0,
-                    jnp.where((refa == varref1) & (refl != varref1), 1,
-                        jnp.where((refl == varref1)
-                                  & (refa != varref1), 2, 4)),
-                jnp.where(a_cm == 0,
-                    jnp.where((refl == varref1) & (refa != varref1), 1,
-                        jnp.where((refa == varref1)
-                                  & (refl != varref1), 2, 4)),
-                    jnp.where(refl == refa, 4, 2)))))
-            ctx_cr = jnp.where(
-                have_a & have_l,
-                jnp.where(a_in == 1,
-                    jnp.where(l_in == 1, 2,
-                              1 + 2 * i32_(refl != varref1)),
-                    jnp.where(l_in == 1,
-                              1 + 2 * i32_(refa != varref1), nn0)),
-                jnp.where(have_a,
-                    jnp.where(a_in == 1, 2,
-                        jnp.where(a_cm == 1,
-                                  4 * i32_(a_rf != varref1),
-                                  3 * i32_(a_rf != varref1))),
-                jnp.where(have_l,
-                    jnp.where(l_in == 1, 2,
-                        jnp.where(l_cm == 1,
-                                  4 * i32_(l_rf != varref1),
-                                  3 * i32_(l_rf != varref1))),
-                    2)))
-            m_cref = m_free & (b_comp == 1)
-            rac, crbit = _rac_get_prob(
-                rac, half16,
-                jnp.asarray(aux["comprefp"])[jnp.clip(ctx_cr, 0, 4)],
-                m_cref)
-            if want_counts:
-                cr_ = jnp.where(
-                    m_cref,
-                    CNT_OFF["comp_ref"] + jnp.clip(ctx_cr, 0, 4) * 2
-                    + crbit, big)
-                st["cnts"] = st["cnts"].at[lane, cr_].add(1,
-                                                          mode="drop")
-            varsel = jnp.where(crbit == 1, varref1, varref0)
-            cref0 = jnp.where(fix_idx == 0, fixref, varsel)
-            cref1 = jnp.where(fix_idx == 0, varsel, fixref)
-
-            # single reference (vp9block.c:579-687)
-            a_ok = have_a & (a_in == 0)
-            l_ok = have_l & (l_in == 0)
-            nf = i32_(fixref == 0)
-            nlr = i32_(l_rf == 0)
-            nar = i32_(a_rf == 0)
-            inner_both = jnp.where(
-                l_cm == 1,
-                jnp.where(a_cm == 1, 1 + (nf | nlr | nar),
-                          3 * nar + (nf | nlr)),
-                jnp.where(a_cm == 1, 3 * nlr + (nf | nar),
-                          2 * nlr + 2 * nar))
-            ctx_s1 = jnp.where(
-                a_ok,
-                jnp.where(l_ok, inner_both,
-                          jnp.where(a_cm == 1, 1 + (nf | nar),
-                                    4 * nar)),
-                jnp.where(l_ok,
-                          jnp.where(l_cm == 1, 1 + (nf | nlr),
-                                    4 * nlr),
-                          2))
-            m_sr = m_free & (b_comp == 0)
-            rac, sbit0 = _rac_get_prob(
-                rac, half16,
-                jnp.asarray(aux["singlerefp"])[jnp.clip(ctx_s1, 0, 4),
-                                               0], m_sr)
-            if want_counts:
-                s1_ = jnp.where(
-                    m_sr,
-                    CNT_OFF["single_ref"]
-                    + jnp.clip(ctx_s1, 0, 4) * 4 + sbit0, big)
-                st["cnts"] = st["cnts"].at[lane, s1_].add(1,
-                                                          mode="drop")
-            m_sr2 = m_sr & (sbit0 == 1)
-            f1 = i32_(fixref == 1)
-            ar1 = i32_(a_rf == 1)
-            lr1 = i32_(l_rf == 1)
-            # second-bit context (vp9block.c:489-572), incl. the
-            # reference's dead arms
-            c_ll = jnp.where(
-                l_in == 1,
-                jnp.where(a_in == 1, 2,
-                    jnp.where(a_cm == 1, 1 + 2 * (f1 | ar1),
-                        jnp.where(nar == 1, 3, 4 * ar1))),
-                jnp.where(a_in == 1,
-                    jnp.where(l_cm == 1, 1 + 2 * (f1 | lr1),
-                        jnp.where(nlr == 1, 3, 4 * lr1)),
-                jnp.where(a_cm == 1,
-                    jnp.where(l_cm == 1,
-                        jnp.where(l_rf == a_rf, 3 * (f1 | lr1), 2),
-                        jnp.where(nlr == 1, 1 + 2 * (f1 | ar1),
-                                  3 * lr1 + (f1 | ar1))),
-                jnp.where(l_cm == 1,
-                    jnp.where(nar == 1, 1 + 2 * (f1 | lr1),
-                              3 * ar1 + (f1 | lr1)),
-                jnp.where(nar == 1,
-                    jnp.where(nlr == 1, 3, 4 * lr1),
-                jnp.where(nlr == 1, 4 * ar1,
-                          2 * lr1 + 2 * ar1))))))
-            ctx_s2 = jnp.where(
-                have_a,
-                jnp.where(have_l, c_ll,
-                    jnp.where((a_in == 1)
-                              | ((a_cm == 0) & (nar == 1)), 2,
-                        jnp.where(a_cm == 1, 3 * (f1 | ar1),
-                                  4 * ar1))),
-                jnp.where(have_l,
-                    jnp.where((l_in == 1)
-                              | ((l_cm == 0) & (nlr == 1)), 2,
-                        jnp.where(l_cm == 1, 3 * (f1 | lr1),
-                                  4 * lr1)),
-                    2))
-            rac, sbit1 = _rac_get_prob(
-                rac, half16,
-                jnp.asarray(aux["singlerefp"])[jnp.clip(ctx_s2, 0, 4),
-                                               1], m_sr2)
-            if want_counts:
-                s2_ = jnp.where(
-                    m_sr2,
-                    CNT_OFF["single_ref"]
-                    + jnp.clip(ctx_s2, 0, 4) * 4 + 2 + sbit1, big)
-                st["cnts"] = st["cnts"].at[lane, s2_].add(1,
-                                                          mode="drop")
-            sref = jnp.where(sbit0 == 0, 0, 1 + sbit1)
-            ref0 = jnp.where(m_segref, rs_val - 1,
-                             jnp.where(b_comp == 1, cref0, sref))
-            ref1 = jnp.where(b_comp == 1, cref1, 0)
-            newref = jnp.stack([ref0, ref1], 1)
-            st["b_ref"] = jnp.where(m_il[:, None], newref,
-                                    st["b_ref"])
-
-            # whole-block inter mode for >=8x8 (vp9block.c:577-600);
-            # seg SKIP feature forces ZEROMV without a symbol. The
-            # mode ctx samples the a/l mode ctx at an offset INTO the
-            # block for 64x64 (+3) and 32x32 (+1) — SUB8X8_OFF,
-            # vp9block.c:584 (sub-8x8 blocks use offset 0)
-            moff = jnp.asarray(
-                np.asarray([3, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
-                           np.int32))[jnp.clip(bs, 0, 12)]
-            mctx = imctx_t[
-                jnp.clip(getcol(st["a_mode"], bc + moff), 0, 13),
-                jnp.clip(getcol(st["l_mode"], row7 + moff), 0, 13)]
-            st["b_modectx"] = jnp.where(m_il, mctx, st["b_modectx"])
-            m_bmode = m_il & (bs <= 9) & ~forced_skip
-            rac, bmt = _rac_tree(
-                rac, half16, _IMTREE, _IMDEPTH,
-                jnp.asarray(aux["mvmodep"])[jnp.clip(mctx, 0, 6)],
-                m_bmode)
-            if want_counts:
-                bm_ = jnp.where(
-                    m_bmode,
-                    CNT_OFF["mv_mode"] + jnp.clip(mctx, 0, 6) * 4
-                    + jnp.clip(bmt - 10, 0, 3), big)
-                st["cnts"] = st["cnts"].at[lane, bm_].add(1,
-                                                          mode="drop")
-            bmode = jnp.where(forced_skip, 12, bmt)   # ZEROMV
-            m_bstore = m_il & (bs <= 9)
-            st["b_modes"] = jnp.where(m_bstore[:, None],
-                                      bmode[:, None], st["b_modes"])
-
-            # interp filter (vp9block.c:602-624)
-            a_md = getcol(st["a_mode"], bc)
-            l_md = getcol(st["l_mode"], row7)
-            cond_a = have_a & (a_md >= 10)
-            cond_l = have_l & (l_md >= 10)
-            af = getcol(st["a_filter"], bc)
-            lf_ = getcol(st["l_filter"], row7)
-            ctx_f = jnp.where(
-                cond_a,
-                jnp.where(cond_l, jnp.where(af == lf_, lf_, 3), af),
-                jnp.where(cond_l, lf_, 3))
-            m_filt = m_il & (filtermode == 4)
-            rac, fid = _rac_tree(
-                rac, half16, _FTREE, _FDEPTH,
-                jnp.asarray(aux["filterp"])[jnp.clip(ctx_f, 0, 3)],
-                m_filt)
-            if want_counts:
-                fc_ = jnp.where(
-                    m_filt,
-                    CNT_OFF["filter"] + jnp.clip(ctx_f, 0, 3) * 3
-                    + jnp.clip(fid, 0, 2), big)
-                st["cnts"] = st["cnts"].at[lane, fc_].add(1,
-                                                          mode="drop")
-            b_filt = jnp.where(m_filt, flut_t[jnp.clip(fid, 0, 2)],
-                               filtermode)
-            st["b_filter"] = jnp.where(m_il, b_filt, st["b_filter"])
-            st["b_filterid"] = jnp.where(
-                m_filt, fid, jnp.where(m_il, 0, st["b_filterid"]))
-
-            # inter lanes continue in the MV phase
-            entered_mv = m_il
-            st["phase"] = jnp.where(m_il, MV, st["phase"])
-            st["mv_k"] = jnp.where(m_il, 0, st["mv_k"])
-            st["mv_z"] = jnp.where(m_il, 0, st["mv_z"])
-        else:
-            m_big = mm & big_bs
-            # slot 0: probs[a[a0]][l[l0]]
-            rac, md0 = ymode_slot(rac, m_big, a0i, None, l0i)
-            st["a_mode"] = setrow(st["a_mode"], a0i, md0[:, None], z0 + 1,
-                                  m_big)
-            # slot 1 (bs != BS_8x4): probs[a[a1]][mode0]
-            m_s1 = m_big & ~is_8x4
-            rac, md1_t = ymode_slot(rac, m_s1, a1i, md0, None)
-            md1 = jnp.where(is_8x4, md0, md1_t)
-            # l[l0] = a[a1] = mode1
-            st["l_mode"] = setrow(st["l_mode"], l0i, md1[:, None], z0 + 1,
-                                  m_big)
-            st["a_mode"] = setrow(st["a_mode"], a1i, md1[:, None], z0 + 1,
-                                  m_big)
-            # slot 2 (bs != BS_4x8): probs[a[a0]][l[l1]]
-            m_s2 = m_big & ~is_4x8
-            rac, md2_t = ymode_slot(rac, m_s2, a0i, None, l1i)
-            md2 = jnp.where(is_4x8, md0, md2_t)
-            st["a_mode"] = setrow(st["a_mode"], a0i, md2[:, None], z0 + 1,
-                                  m_s2)
-            # slot 3: probs[a[a1]][mode2] (bs not in {8x4, 4x8}); every
-            # big-bs branch ends with l[l1] = a[a1] = mode3
-            m_s3 = m_big & ~is_4x8 & ~is_8x4
-            rac, md3_t = ymode_slot(rac, m_s3, a1i, md2, None)
-            md3 = jnp.where(is_4x8, md1, jnp.where(is_8x4, md2, md3_t))
-            st["l_mode"] = setrow(st["l_mode"], l1i, md3[:, None], z0 + 1,
-                                  m_big)
-            st["a_mode"] = setrow(st["a_mode"], a1i, md3[:, None], z0 + 1,
-                                  m_big)
-
-            # <= 8x8: one tree from probs[a[a0]][l[l0]], splat bw/bh
-            m_small = mm & ~big_bs
-            rac, mds = ymode_slot(rac, m_small, a0i, None, l0i)
-            smode = mds
-            nw2 = bwh[0, jnp.clip(bs, 0, 12), 0]
-            nh2 = bwh[0, jnp.clip(bs, 0, 12), 1]
-            st["a_mode"] = splat1(st["a_mode"], a0i, smode, nw2, m_small,
-                                  width=16)
-            st["l_mode"] = splat1(st["l_mode"], l0i, smode, nh2, m_small,
-                                  width=16)
-
-            mode0 = jnp.where(big_bs, md0, smode)
-            mode1 = jnp.where(big_bs, md1, smode)
-            mode2 = jnp.where(big_bs, md2, smode)
-            mode3 = jnp.where(big_bs, md3, smode)
-            modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
-            st["b_modes"] = jnp.where(mm[:, None], modes, st["b_modes"])
-
-            # --- uv mode ---
-            uvp = kf_uvm[jnp.clip(mode3, 0, 9)]
-            rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp, mm)
-            st["b_uvmode"] = jnp.where(mm, uvmode, st["b_uvmode"])
-
-        # --- SET_CTXS splats ---
-        st["a_skip"] = splat1(st["a_skip"], bc, b_skip, bw4, mm)
-        st["a_txfm"] = splat1(st["a_txfm"], bc, b_tx, bw4, mm)
-        st["a_part"] = splat1(st["a_part"], bc,
-                              actx_t[jnp.clip(bs, 0, 12)], bw4, mm)
-        st["l_skip"] = splat1(st["l_skip"], row7, b_skip, bh4, mm)
-        st["l_txfm"] = splat1(st["l_txfm"], row7, b_tx, bh4, mm)
-        st["l_part"] = splat1(st["l_part"], row7,
-                              lctx_t[jnp.clip(bs, 0, 12)], bh4, mm)
-
-        # --- transitions for lanes whose mode bundle finished here
-        # (all lanes on keyframes; intra lanes on inter frames — the
-        # inter lanes continue through the MV phase) ---
         def zero_nnz(stt, mask, bcv, row7v, bw4v, bh4v):
             """SPLAT_ZERO_YUV of a skip block (vp9block.c:1316-)."""
             zt = jnp.zeros((S,), jnp.int32)
@@ -1542,295 +985,915 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
                            (bh4v * 2) >> ss_v, mask, width=16))
             return stt
 
+        # --- seg id ---
+        # The whole mode bundle runs once per block (vs ~20 COEF
+        # quanta), and it is the biggest single chunk of the while
+        # body, so it too runs under a real branch.
+        _MDW = ["b_seg", "b_skip", "b_tx", "b_uvtx", "b_modes",
+                "b_uvmode", "a_skip", "a_txfm", "a_part", "l_skip",
+                "l_txfm", "l_part", "a_mode", "l_mode", "a_ynnz",
+                "l_ynnz", "a_unnz", "l_unnz", "cnts", "phase",
+                "c_pl", "c_x", "c_y", "c_init", "c_modeidx"]
+        if inter:
+            _MDW += ["b_intra", "b_comp", "b_ref", "b_filter",
+                     "b_filterid", "b_modectx", "a_segpred",
+                     "l_segpred", "mv_k", "mv_z"]
+        st_outer0 = st
+
+        def _mode_section(carry):
+            rac, sub = carry
+            st = dict(st_outer0)
+            st.update(sub)
+            if inter:
+                # non-intra frame (vp9block.c:101-142): optional temporal
+                # prediction of the seg id from the previous frame's map
+                spctx = (getcol(st["a_segpred"], bc)
+                         + getcol(st["l_segpred"], row7))
+                m_pred = mm & (seg_en == 1) & (seg_upd == 1) & (seg_tmp == 1)
+                rac, predbit = _rac_get_prob(
+                    rac, half16,
+                    jnp.asarray(aux["segpredp"])[jnp.clip(spctx, 0, 2)],
+                    m_pred)
+                use_pred = (seg_en == 1) & ((seg_upd == 0)
+                                            | ((seg_tmp == 1)
+                                               & (predbit == 1)))
+                m_tree = mm & (seg_en == 1) & (seg_upd == 1) \
+                    & ~((seg_tmp == 1) & (predbit == 1))
+                segp = jnp.broadcast_to(segprob[None, :], (S, 7))
+                rac, seg_tree = _rac_tree(rac, half16, _STREE, _SDEPTH,
+                                          segp, m_tree)
+                # predicted id = min of the previous map over the CLIPPED
+                # block area (blockdec.py:261-263)
+                w4c8 = jnp.minimum(cols - bc, bwh[1, jnp.clip(bs, 0, 12), 0])
+                h4c8 = jnp.minimum(rows - br, bwh[1, jnp.clip(bs, 0, 12), 1])
+                kyy = jnp.arange(8)[None, :, None]
+                kxx = jnp.arange(8)[None, None, :]
+                okg = (kyy < h4c8[:, None, None]) & (kxx < w4c8[:, None, None])
+                gseg = (br[:, None, None] + kyy) * cols \
+                    + (bc[:, None, None] + kxx)
+                pvals = jnp.asarray(aux["prev_seg"])[
+                    jnp.clip(gseg, 0, gmax - 1)]
+                pred_seg = jnp.min(jnp.where(okg, pvals, 8), axis=(1, 2))
+                pred_seg = jnp.where(have_pseg == 1, pred_seg, 0)
+                seg_id = jnp.where(use_pred, pred_seg,
+                                   jnp.where(m_tree, seg_tree, 0))
+                # segpred ctx splat (clipped; only when seg enabled)
+                m_spl = mm & (seg_en == 1)
+                st["a_segpred"] = splat1(st["a_segpred"], bc,
+                                         use_pred.astype(jnp.int32),
+                                         w4c8, m_spl)
+                st["l_segpred"] = splat1(st["l_segpred"], row7,
+                                         use_pred.astype(jnp.int32),
+                                         h4c8, m_spl)
+            elif seg:
+                segp = jnp.broadcast_to(segprob[None, :], (S, 7))
+                rac, seg_id = _rac_tree(rac, half16, _STREE, _SDEPTH,
+                                        segp, mm)
+            else:
+                seg_id = z0
+            st["b_seg"] = jnp.where(mm, seg_id, st["b_seg"])
+
+            # --- skip ---
+            forced_skip = jnp.take(skipseg, jnp.clip(seg_id, 0, 7)) == 1
+            sctx = getcol(st["l_skip"], row7) + getcol(st["a_skip"], bc)
+            m_skipbit = mm & ~forced_skip
+            rac, skipbit = _rac_get_prob(
+                rac, half16, jnp.take(skipp, jnp.clip(sctx, 0, 2)),
+                m_skipbit)
+            b_skip = jnp.where(forced_skip, 1, skipbit)
+            st["b_skip"] = jnp.where(mm, b_skip, st["b_skip"])
+            if want_counts:
+                s_idx = jnp.where(
+                    m_skipbit,
+                    CNT_OFF["skip"] + jnp.clip(sctx, 0, 2) * 2 + skipbit,
+                    big)
+                st["cnts"] = st["cnts"].at[lane, s_idx].add(1, mode="drop")
+
+            # --- intra/inter flag (vp9block.c:283-298) ---
+            if inter:
+                rs_en = jnp.take(jnp.asarray(aux["refseg_en"]),
+                                 jnp.clip(seg_id, 0, 7)) == 1
+                rs_val = jnp.take(jnp.asarray(aux["refseg_val"]),
+                                  jnp.clip(seg_id, 0, 7))
+                a_in = getcol(st["a_intra"], bc)
+                l_in = getcol(st["l_intra"], row7)
+                have_a = br > 0
+                have_l = bc > c0l
+                ctx_i = jnp.where(
+                    have_a & have_l,
+                    a_in + l_in + ((a_in + l_in) == 2).astype(jnp.int32),
+                    jnp.where(have_a, 2 * a_in,
+                              jnp.where(have_l, 2 * l_in, 0)))
+                m_ibit = mm & ~rs_en
+                rac, ibit = _rac_get_prob(
+                    rac, half16,
+                    jnp.asarray(aux["intrap"])[jnp.clip(ctx_i, 0, 3)],
+                    m_ibit)
+                b_intra = jnp.where(rs_en, (rs_val == 0).astype(jnp.int32),
+                                    1 - ibit)
+                st["b_intra"] = jnp.where(mm, b_intra, st["b_intra"])
+                if want_counts:
+                    i_idx = jnp.where(
+                        m_ibit,
+                        CNT_OFF["intra"] + jnp.clip(ctx_i, 0, 3) * 2 + ibit,
+                        big)
+                    st["cnts"] = st["cnts"].at[lane, i_idx].add(
+                        1, mode="drop")
+            else:
+                b_intra = jnp.ones((S,), jnp.int32)
+
+            # --- tx size ---
+            mtx = maxtx_t[jnp.clip(bs, 0, 12)]
+            have_a = br > 0
+            have_l = bc > c0l
+            a_sk = getcol(st["a_skip"], bc)
+            l_sk = getcol(st["l_skip"], row7)
+            a_t = jnp.where(a_sk == 1, mtx, getcol(st["a_txfm"], bc))
+            l_t = jnp.where(l_sk == 1, mtx, getcol(st["l_txfm"], row7))
+            txctx = jnp.where(
+                have_a & have_l, (a_t + l_t > mtx).astype(jnp.int32),
+                jnp.where(have_a,
+                          jnp.where(a_sk == 1, 1,
+                                    (a_t * 2 > mtx).astype(jnp.int32)),
+                          jnp.where(have_l,
+                                    jnp.where(l_sk == 1, 1,
+                                              (l_t * 2 > mtx)
+                                              .astype(jnp.int32)),
+                                    1)))
+            # tx coded when (intra or !skip) and switchable — keyframes
+            # are all-intra, so there it is coded whenever switchable
+            sel_tx = mm & (txfmmode == 4)
+            if inter:
+                sel_tx = sel_tx & ((b_intra == 1) | (b_skip == 0))
+            m32 = sel_tx & (mtx == 3)
+            p32 = tx32p[jnp.clip(txctx, 0, 1)]
+            rac, t0 = _rac_get_prob(rac, half16, p32[:, 0], m32)
+            m32b = m32 & (t0 == 1)
+            rac, t1 = _rac_get_prob(rac, half16, p32[:, 1], m32b)
+            m32c = m32b & (t1 == 1)
+            rac, t2 = _rac_get_prob(rac, half16, p32[:, 2], m32c)
+            tx_32 = t0 + t1 + t2
+            m16 = sel_tx & (mtx == 2)
+            p16 = tx16p[jnp.clip(txctx, 0, 1)]
+            rac, u0 = _rac_get_prob(rac, half16, p16[:, 0], m16)
+            m16b = m16 & (u0 == 1)
+            rac, u1 = _rac_get_prob(rac, half16, p16[:, 1], m16b)
+            tx_16 = u0 + u1
+            m8 = sel_tx & (mtx == 1)
+            p8 = tx8p[jnp.clip(txctx, 0, 1)]
+            rac, v0 = _rac_get_prob(rac, half16, p8[:, 0], m8)
+            b_tx = jnp.where(sel_tx,
+                             jnp.where(mtx == 3, tx_32,
+                                       jnp.where(mtx == 2, tx_16,
+                                                 jnp.where(mtx == 1, v0,
+                                                           0))),
+                             jnp.minimum(mtx, txfmmode))
+            st["b_tx"] = jnp.where(mm, b_tx, st["b_tx"])
+            if want_counts:
+                c2 = jnp.clip(txctx, 0, 1)
+                tx_idx = jnp.where(
+                    m32, CNT_OFF["tx32p"] + c2 * 4 + tx_32,
+                    jnp.where(m16, CNT_OFF["tx16p"] + c2 * 3 + tx_16,
+                              jnp.where(m8, CNT_OFF["tx8p"] + c2 * 2 + v0,
+                                        big)))
+                st["cnts"] = st["cnts"].at[lane, tx_idx].add(1, mode="drop")
+            uvtx = b_tx - (((ss_h & (bw4 * 2 == (1 << b_tx))) |
+                            (ss_v & (bh4 * 2 == (1 << b_tx))))
+                           .astype(jnp.int32))
+            st["b_uvtx"] = jnp.where(mm, uvtx, st["b_uvtx"])
+
+            # --- modes ---
+            a0i, a1i = bc * 2, bc * 2 + 1
+            l0i, l1i = (row7) * 2, (row7) * 2 + 1
+            # bs indexing: larger index = smaller block (BS_8x8 == 9);
+            # the 4-slot per-4x4-mode path is for SUB-8x8 blocks
+            # (vp9block.c decode_mode_kf: b->bs > BS_8x8)
+            big_bs = bs > 9      # sub-8x8: per-4x4 mode slots
+            is_8x4 = bs == 10
+            is_4x8 = bs == 11
+            entered_mv = jnp.zeros((S,), bool)
+            m_blkdone = mm        # lanes whose mode bundle completes here
+
+            def ymode_slot(rac, msel, a_idx, l_from_a, l_idx):
+                av = getcol(st["a_mode"], a_idx)
+                lv = l_from_a if l_from_a is not None \
+                    else getcol(st["l_mode"], l_idx)
+                probs = kf_ym[jnp.clip(av, 0, 9), jnp.clip(lv, 0, 9)]
+                return _rac_tree(rac, half16, _MTREE, _MDEPTH, probs, msel)
+
+            if inter:
+                # ===== non-keyframe modes (vp9block.c:331-802) =====
+                # intra blocks on an inter frame: fixed per-frame prob
+                # tables, no above/left coupling (vp9block.c:380-411)
+                m_iy = mm & (b_intra == 1)
+                m_blkdone = m_iy
+                ymp = jnp.asarray(aux["ymodep"])
+                uvmp = jnp.asarray(aux["uvmodep"])
+                yp0 = jnp.broadcast_to(ymp[0][None], (S, 9))
+                m_ibig = m_iy & big_bs
+                rac, i0 = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                    m_ibig)
+                m_i1 = m_ibig & ~is_8x4
+                rac, i1t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                     m_i1)
+                i1 = jnp.where(is_8x4, i0, i1t)
+                m_i2 = m_ibig & ~is_4x8
+                rac, i2t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                     m_i2)
+                i2 = jnp.where(is_4x8, i0, i2t)
+                m_i3 = m_ibig & ~is_4x8 & ~is_8x4
+                rac, i3t = _rac_tree(rac, half16, _MTREE, _MDEPTH, yp0,
+                                     m_i3)
+                i3 = jnp.where(is_4x8, i1, jnp.where(is_8x4, i2, i3t))
+                m_ismall = m_iy & ~big_bs
+                szg = szg_t[jnp.clip(bs, 0, 12)]
+                rac, ism = _rac_tree(rac, half16, _MTREE, _MDEPTH,
+                                     ymp[jnp.clip(szg, 0, 3)], m_ismall)
+                mode0 = jnp.where(big_bs, i0, ism)
+                mode1 = jnp.where(big_bs, i1, ism)
+                mode2 = jnp.where(big_bs, i2, ism)
+                mode3 = jnp.where(big_bs, i3, ism)
+                modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
+                st["b_modes"] = jnp.where(m_iy[:, None], modes,
+                                          st["b_modes"])
+                uvp = uvmp[jnp.clip(mode3, 0, 9)]
+                rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp,
+                                        m_iy)
+                st["b_uvmode"] = jnp.where(m_iy, uvmode, st["b_uvmode"])
+                # intra blocks on inter frames set comp=0 explicitly
+                # (vp9block.c:381) — the comp ctx splat reads it
+                st["b_comp"] = jnp.where(m_iy, 0, st["b_comp"])
+                if want_counts:
+                    for msl, mvv in ((m_ibig, i0), (m_i1, i1t),
+                                     (m_i2, i2t), (m_i3, i3t)):
+                        yy = jnp.where(msl, CNT_OFF["y_mode"]
+                                       + jnp.clip(mvv, 0, 9), big)
+                        st["cnts"] = st["cnts"].at[lane, yy].add(
+                            1, mode="drop")
+                    ys = jnp.where(
+                        m_ismall,
+                        CNT_OFF["y_mode"] + jnp.clip(szg, 0, 3) * 10
+                        + jnp.clip(ism, 0, 9), big)
+                    st["cnts"] = st["cnts"].at[lane, ys].add(1,
+                                                             mode="drop")
+                    uvc = jnp.where(
+                        m_iy,
+                        CNT_OFF["uv_mode"] + jnp.clip(mode3, 0, 9) * 10
+                        + jnp.clip(uvmode, 0, 9), big)
+                    st["cnts"] = st["cnts"].at[lane, uvc].add(1,
+                                                              mode="drop")
+
+                # ----- inter block: comp mode / reference selection
+                # (vp9block.c:331-575) -----
+                m_il = mm & (b_intra == 0)
+                a_cm = getcol(st["a_comp"], bc)
+                l_cm = getcol(st["l_comp"], row7)
+                a_rf = getcol(st["a_ref"], bc)
+                l_rf = getcol(st["l_ref"], row7)
+                m_segref = m_il & rs_en
+                m_free = m_il & ~rs_en
+
+                def i32_(b):
+                    return b.astype(jnp.int32)
+
+                fix_eq_a = (a_in == 0) & (a_rf == fixref)
+                fix_eq_l = (l_in == 0) & (l_rf == fixref)
+                ctx_c = jnp.where(
+                    have_a & have_l,
+                    jnp.where((a_cm == 1) & (l_cm == 1), 4,
+                    jnp.where(a_cm == 1,
+                              2 + i32_((l_in == 1) | (l_rf == fixref)),
+                    jnp.where(l_cm == 1,
+                              2 + i32_((a_in == 1) | (a_rf == fixref)),
+                              i32_(fix_eq_a ^ fix_eq_l)))),
+                    jnp.where(have_a,
+                              jnp.where(a_cm == 1, 3, i32_(fix_eq_a)),
+                    jnp.where(have_l,
+                              jnp.where(l_cm == 1, 3, i32_(fix_eq_l)),
+                              1)))
+                m_csel = m_free & (comppredmode == 2)
+                rac, compbit = _rac_get_prob(
+                    rac, half16,
+                    jnp.asarray(aux["compp"])[jnp.clip(ctx_c, 0, 4)],
+                    m_csel)
+                b_comp = jnp.where(
+                    m_csel, compbit,
+                    jnp.where(m_free, i32_(comppredmode == 1), 0))
+                st["b_comp"] = jnp.where(m_il, b_comp, st["b_comp"])
+                if want_counts:
+                    cc_ = jnp.where(
+                        m_csel,
+                        CNT_OFF["comp"] + jnp.clip(ctx_c, 0, 4) * 2
+                        + compbit, big)
+                    st["cnts"] = st["cnts"].at[lane, cc_].add(1,
+                                                              mode="drop")
+
+                # compound reference (vp9block.c:522-577)
+                fix_idx = sbias[jnp.clip(fixref, 0, 2)]
+                refl, refa = l_rf, a_rf
+                nn0 = jnp.where(
+                    (refl == refa) & (refa == varref1), 0,
+                    jnp.where((l_cm == 0) & (a_cm == 0),
+                        jnp.where(((refa == fixref) & (refl == varref0))
+                                  | ((refl == fixref)
+                                     & (refa == varref0)), 4,
+                                  jnp.where(refa == refl, 3, 1)),
+                    jnp.where(l_cm == 0,
+                        jnp.where((refa == varref1) & (refl != varref1), 1,
+                            jnp.where((refl == varref1)
+                                      & (refa != varref1), 2, 4)),
+                    jnp.where(a_cm == 0,
+                        jnp.where((refl == varref1) & (refa != varref1), 1,
+                            jnp.where((refa == varref1)
+                                      & (refl != varref1), 2, 4)),
+                        jnp.where(refl == refa, 4, 2)))))
+                ctx_cr = jnp.where(
+                    have_a & have_l,
+                    jnp.where(a_in == 1,
+                        jnp.where(l_in == 1, 2,
+                                  1 + 2 * i32_(refl != varref1)),
+                        jnp.where(l_in == 1,
+                                  1 + 2 * i32_(refa != varref1), nn0)),
+                    jnp.where(have_a,
+                        jnp.where(a_in == 1, 2,
+                            jnp.where(a_cm == 1,
+                                      4 * i32_(a_rf != varref1),
+                                      3 * i32_(a_rf != varref1))),
+                    jnp.where(have_l,
+                        jnp.where(l_in == 1, 2,
+                            jnp.where(l_cm == 1,
+                                      4 * i32_(l_rf != varref1),
+                                      3 * i32_(l_rf != varref1))),
+                        2)))
+                m_cref = m_free & (b_comp == 1)
+                rac, crbit = _rac_get_prob(
+                    rac, half16,
+                    jnp.asarray(aux["comprefp"])[jnp.clip(ctx_cr, 0, 4)],
+                    m_cref)
+                if want_counts:
+                    cr_ = jnp.where(
+                        m_cref,
+                        CNT_OFF["comp_ref"] + jnp.clip(ctx_cr, 0, 4) * 2
+                        + crbit, big)
+                    st["cnts"] = st["cnts"].at[lane, cr_].add(1,
+                                                              mode="drop")
+                varsel = jnp.where(crbit == 1, varref1, varref0)
+                cref0 = jnp.where(fix_idx == 0, fixref, varsel)
+                cref1 = jnp.where(fix_idx == 0, varsel, fixref)
+
+                # single reference (vp9block.c:579-687)
+                a_ok = have_a & (a_in == 0)
+                l_ok = have_l & (l_in == 0)
+                nf = i32_(fixref == 0)
+                nlr = i32_(l_rf == 0)
+                nar = i32_(a_rf == 0)
+                inner_both = jnp.where(
+                    l_cm == 1,
+                    jnp.where(a_cm == 1, 1 + (nf | nlr | nar),
+                              3 * nar + (nf | nlr)),
+                    jnp.where(a_cm == 1, 3 * nlr + (nf | nar),
+                              2 * nlr + 2 * nar))
+                ctx_s1 = jnp.where(
+                    a_ok,
+                    jnp.where(l_ok, inner_both,
+                              jnp.where(a_cm == 1, 1 + (nf | nar),
+                                        4 * nar)),
+                    jnp.where(l_ok,
+                              jnp.where(l_cm == 1, 1 + (nf | nlr),
+                                        4 * nlr),
+                              2))
+                m_sr = m_free & (b_comp == 0)
+                rac, sbit0 = _rac_get_prob(
+                    rac, half16,
+                    jnp.asarray(aux["singlerefp"])[jnp.clip(ctx_s1, 0, 4),
+                                                   0], m_sr)
+                if want_counts:
+                    s1_ = jnp.where(
+                        m_sr,
+                        CNT_OFF["single_ref"]
+                        + jnp.clip(ctx_s1, 0, 4) * 4 + sbit0, big)
+                    st["cnts"] = st["cnts"].at[lane, s1_].add(1,
+                                                              mode="drop")
+                m_sr2 = m_sr & (sbit0 == 1)
+                f1 = i32_(fixref == 1)
+                ar1 = i32_(a_rf == 1)
+                lr1 = i32_(l_rf == 1)
+                # second-bit context (vp9block.c:489-572), incl. the
+                # reference's dead arms
+                c_ll = jnp.where(
+                    l_in == 1,
+                    jnp.where(a_in == 1, 2,
+                        jnp.where(a_cm == 1, 1 + 2 * (f1 | ar1),
+                            jnp.where(nar == 1, 3, 4 * ar1))),
+                    jnp.where(a_in == 1,
+                        jnp.where(l_cm == 1, 1 + 2 * (f1 | lr1),
+                            jnp.where(nlr == 1, 3, 4 * lr1)),
+                    jnp.where(a_cm == 1,
+                        jnp.where(l_cm == 1,
+                            jnp.where(l_rf == a_rf, 3 * (f1 | lr1), 2),
+                            jnp.where(nlr == 1, 1 + 2 * (f1 | ar1),
+                                      3 * lr1 + (f1 | ar1))),
+                    jnp.where(l_cm == 1,
+                        jnp.where(nar == 1, 1 + 2 * (f1 | lr1),
+                                  3 * ar1 + (f1 | lr1)),
+                    jnp.where(nar == 1,
+                        jnp.where(nlr == 1, 3, 4 * lr1),
+                    jnp.where(nlr == 1, 4 * ar1,
+                              2 * lr1 + 2 * ar1))))))
+                ctx_s2 = jnp.where(
+                    have_a,
+                    jnp.where(have_l, c_ll,
+                        jnp.where((a_in == 1)
+                                  | ((a_cm == 0) & (nar == 1)), 2,
+                            jnp.where(a_cm == 1, 3 * (f1 | ar1),
+                                      4 * ar1))),
+                    jnp.where(have_l,
+                        jnp.where((l_in == 1)
+                                  | ((l_cm == 0) & (nlr == 1)), 2,
+                            jnp.where(l_cm == 1, 3 * (f1 | lr1),
+                                      4 * lr1)),
+                        2))
+                rac, sbit1 = _rac_get_prob(
+                    rac, half16,
+                    jnp.asarray(aux["singlerefp"])[jnp.clip(ctx_s2, 0, 4),
+                                                   1], m_sr2)
+                if want_counts:
+                    s2_ = jnp.where(
+                        m_sr2,
+                        CNT_OFF["single_ref"]
+                        + jnp.clip(ctx_s2, 0, 4) * 4 + 2 + sbit1, big)
+                    st["cnts"] = st["cnts"].at[lane, s2_].add(1,
+                                                              mode="drop")
+                sref = jnp.where(sbit0 == 0, 0, 1 + sbit1)
+                ref0 = jnp.where(m_segref, rs_val - 1,
+                                 jnp.where(b_comp == 1, cref0, sref))
+                ref1 = jnp.where(b_comp == 1, cref1, 0)
+                newref = jnp.stack([ref0, ref1], 1)
+                st["b_ref"] = jnp.where(m_il[:, None], newref,
+                                        st["b_ref"])
+
+                # whole-block inter mode for >=8x8 (vp9block.c:577-600);
+                # seg SKIP feature forces ZEROMV without a symbol. The
+                # mode ctx samples the a/l mode ctx at an offset INTO the
+                # block for 64x64 (+3) and 32x32 (+1) — SUB8X8_OFF,
+                # vp9block.c:584 (sub-8x8 blocks use offset 0)
+                moff = jnp.asarray(
+                    np.asarray([3, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                               np.int32))[jnp.clip(bs, 0, 12)]
+                mctx = imctx_t[
+                    jnp.clip(getcol(st["a_mode"], bc + moff), 0, 13),
+                    jnp.clip(getcol(st["l_mode"], row7 + moff), 0, 13)]
+                st["b_modectx"] = jnp.where(m_il, mctx, st["b_modectx"])
+                m_bmode = m_il & (bs <= 9) & ~forced_skip
+                rac, bmt = _rac_tree(
+                    rac, half16, _IMTREE, _IMDEPTH,
+                    jnp.asarray(aux["mvmodep"])[jnp.clip(mctx, 0, 6)],
+                    m_bmode)
+                if want_counts:
+                    bm_ = jnp.where(
+                        m_bmode,
+                        CNT_OFF["mv_mode"] + jnp.clip(mctx, 0, 6) * 4
+                        + jnp.clip(bmt - 10, 0, 3), big)
+                    st["cnts"] = st["cnts"].at[lane, bm_].add(1,
+                                                              mode="drop")
+                bmode = jnp.where(forced_skip, 12, bmt)   # ZEROMV
+                m_bstore = m_il & (bs <= 9)
+                st["b_modes"] = jnp.where(m_bstore[:, None],
+                                          bmode[:, None], st["b_modes"])
+
+                # interp filter (vp9block.c:602-624)
+                a_md = getcol(st["a_mode"], bc)
+                l_md = getcol(st["l_mode"], row7)
+                cond_a = have_a & (a_md >= 10)
+                cond_l = have_l & (l_md >= 10)
+                af = getcol(st["a_filter"], bc)
+                lf_ = getcol(st["l_filter"], row7)
+                ctx_f = jnp.where(
+                    cond_a,
+                    jnp.where(cond_l, jnp.where(af == lf_, lf_, 3), af),
+                    jnp.where(cond_l, lf_, 3))
+                m_filt = m_il & (filtermode == 4)
+                rac, fid = _rac_tree(
+                    rac, half16, _FTREE, _FDEPTH,
+                    jnp.asarray(aux["filterp"])[jnp.clip(ctx_f, 0, 3)],
+                    m_filt)
+                if want_counts:
+                    fc_ = jnp.where(
+                        m_filt,
+                        CNT_OFF["filter"] + jnp.clip(ctx_f, 0, 3) * 3
+                        + jnp.clip(fid, 0, 2), big)
+                    st["cnts"] = st["cnts"].at[lane, fc_].add(1,
+                                                              mode="drop")
+                b_filt = jnp.where(m_filt, flut_t[jnp.clip(fid, 0, 2)],
+                                   filtermode)
+                st["b_filter"] = jnp.where(m_il, b_filt, st["b_filter"])
+                st["b_filterid"] = jnp.where(
+                    m_filt, fid, jnp.where(m_il, 0, st["b_filterid"]))
+
+                # inter lanes continue in the MV phase
+                entered_mv = m_il
+                st["phase"] = jnp.where(m_il, MV, st["phase"])
+                st["mv_k"] = jnp.where(m_il, 0, st["mv_k"])
+                st["mv_z"] = jnp.where(m_il, 0, st["mv_z"])
+            else:
+                m_big = mm & big_bs
+                # slot 0: probs[a[a0]][l[l0]]
+                rac, md0 = ymode_slot(rac, m_big, a0i, None, l0i)
+                st["a_mode"] = setrow(st["a_mode"], a0i, md0[:, None], z0 + 1,
+                                      m_big)
+                # slot 1 (bs != BS_8x4): probs[a[a1]][mode0]
+                m_s1 = m_big & ~is_8x4
+                rac, md1_t = ymode_slot(rac, m_s1, a1i, md0, None)
+                md1 = jnp.where(is_8x4, md0, md1_t)
+                # l[l0] = a[a1] = mode1
+                st["l_mode"] = setrow(st["l_mode"], l0i, md1[:, None], z0 + 1,
+                                      m_big)
+                st["a_mode"] = setrow(st["a_mode"], a1i, md1[:, None], z0 + 1,
+                                      m_big)
+                # slot 2 (bs != BS_4x8): probs[a[a0]][l[l1]]
+                m_s2 = m_big & ~is_4x8
+                rac, md2_t = ymode_slot(rac, m_s2, a0i, None, l1i)
+                md2 = jnp.where(is_4x8, md0, md2_t)
+                st["a_mode"] = setrow(st["a_mode"], a0i, md2[:, None], z0 + 1,
+                                      m_s2)
+                # slot 3: probs[a[a1]][mode2] (bs not in {8x4, 4x8}); every
+                # big-bs branch ends with l[l1] = a[a1] = mode3
+                m_s3 = m_big & ~is_4x8 & ~is_8x4
+                rac, md3_t = ymode_slot(rac, m_s3, a1i, md2, None)
+                md3 = jnp.where(is_4x8, md1, jnp.where(is_8x4, md2, md3_t))
+                st["l_mode"] = setrow(st["l_mode"], l1i, md3[:, None], z0 + 1,
+                                      m_big)
+                st["a_mode"] = setrow(st["a_mode"], a1i, md3[:, None], z0 + 1,
+                                      m_big)
+
+                # <= 8x8: one tree from probs[a[a0]][l[l0]], splat bw/bh
+                m_small = mm & ~big_bs
+                rac, mds = ymode_slot(rac, m_small, a0i, None, l0i)
+                smode = mds
+                nw2 = bwh[0, jnp.clip(bs, 0, 12), 0]
+                nh2 = bwh[0, jnp.clip(bs, 0, 12), 1]
+                st["a_mode"] = splat1(st["a_mode"], a0i, smode, nw2, m_small,
+                                      width=16)
+                st["l_mode"] = splat1(st["l_mode"], l0i, smode, nh2, m_small,
+                                      width=16)
+
+                mode0 = jnp.where(big_bs, md0, smode)
+                mode1 = jnp.where(big_bs, md1, smode)
+                mode2 = jnp.where(big_bs, md2, smode)
+                mode3 = jnp.where(big_bs, md3, smode)
+                modes = jnp.stack([mode0, mode1, mode2, mode3], 1)
+                st["b_modes"] = jnp.where(mm[:, None], modes, st["b_modes"])
+
+                # --- uv mode ---
+                uvp = kf_uvm[jnp.clip(mode3, 0, 9)]
+                rac, uvmode = _rac_tree(rac, half16, _MTREE, _MDEPTH, uvp, mm)
+                st["b_uvmode"] = jnp.where(mm, uvmode, st["b_uvmode"])
+
+            # --- SET_CTXS splats ---
+            st["a_skip"] = splat1(st["a_skip"], bc, b_skip, bw4, mm)
+            st["a_txfm"] = splat1(st["a_txfm"], bc, b_tx, bw4, mm)
+            st["a_part"] = splat1(st["a_part"], bc,
+                                  actx_t[jnp.clip(bs, 0, 12)], bw4, mm)
+            st["l_skip"] = splat1(st["l_skip"], row7, b_skip, bh4, mm)
+            st["l_txfm"] = splat1(st["l_txfm"], row7, b_tx, bh4, mm)
+            st["l_part"] = splat1(st["l_part"], row7,
+                                  lctx_t[jnp.clip(bs, 0, 12)], bh4, mm)
+
+            # --- transitions for lanes whose mode bundle finished here
+            # (all lanes on keyframes; intra lanes on inter frames — the
+            # inter lanes continue through the MV phase) ---
+            emit_rec = m_blkdone
+            do_ctx_nonkf = m_blkdone if inter else jnp.zeros((S,), bool)
+            m_sk = m_blkdone & (b_skip == 1)
+            st = zero_nnz(st, m_sk, bc, row7, bw4, bh4)
+            st["phase"] = jnp.where(m_sk, PART,
+                                    jnp.where(m_blkdone, COEF,
+                                              st["phase"]))
+            st["c_pl"] = jnp.where(m_blkdone, 0, st["c_pl"])
+            st["c_x"] = jnp.where(m_blkdone, 0, st["c_x"])
+            st["c_y"] = jnp.where(m_blkdone, 0, st["c_y"])
+            st["c_init"] = jnp.where(m_blkdone, 1, st["c_init"])
+            st["c_modeidx"] = jnp.where(m_blkdone, 0, st["c_modeidx"])
+            return (rac, {kk: st[kk] for kk in _MDW}, entered_mv,
+                    m_blkdone)
+
+        def _mode_idle(carry):
+            rac, sub = carry
+            zf = jnp.zeros((S,), bool)
+            return (rac, sub, zf, zf)
+
+        rac, md_sub, entered_mv, m_blkdone = jax.lax.cond(
+            jnp.any(mm), _mode_section, _mode_idle,
+            (rac, {kk: st[kk] for kk in _MDW}))
+        st.update(md_sub)
         emit_rec = m_blkdone
         do_ctx_nonkf = m_blkdone if inter else jnp.zeros((S,), bool)
-        m_sk = m_blkdone & (b_skip == 1)
-        st = zero_nnz(st, m_sk, bc, row7, bw4, bh4)
-        st["phase"] = jnp.where(m_sk, PART,
-                                jnp.where(m_blkdone, COEF,
-                                          st["phase"]))
-        st["c_pl"] = jnp.where(m_blkdone, 0, st["c_pl"])
-        st["c_x"] = jnp.where(m_blkdone, 0, st["c_x"])
-        st["c_y"] = jnp.where(m_blkdone, 0, st["c_y"])
-        st["c_init"] = jnp.where(m_blkdone, 1, st["c_init"])
-        st["c_modeidx"] = jnp.where(m_blkdone, 0, st["c_modeidx"])
 
         # ============ MV quantum (inter lanes only) ============
         # one quantum per (sub-block k, ref z): optional sub-block
         # inter-mode tree, find_ref_mvs candidate scan, hp rounding,
         # NEWMV joint+component reads (vp9block.c:626-677, vp9mvs.c)
         if inter:
-            phase = st["phase"]
-            mk = (phase == MV) & ~entered_mv
-            k = st["mv_k"]
-            z = st["mv_z"]
-            br, bc, bs = st["b_r"], st["b_c"], st["b_bs"]
-            row7 = br & 7
-            sub8 = bs > 9
-            m_dmode = mk & sub8 & (z == 0)
-            rac, mdk = _rac_tree(
-                rac, half16, _IMTREE, _IMDEPTH,
-                jnp.asarray(aux["mvmodep"])[
-                    jnp.clip(st["b_modectx"], 0, 6)], m_dmode)
-            if want_counts:
-                km_ = jnp.where(
-                    m_dmode,
-                    CNT_OFF["mv_mode"]
-                    + jnp.clip(st["b_modectx"], 0, 6) * 4
-                    + jnp.clip(mdk - 10, 0, 3), big)
-                st["cnts"] = st["cnts"].at[lane, km_].add(1,
-                                                          mode="drop")
-            kc = jnp.clip(k, 0, 3)
-            bmcur = st["b_modes"][lane, kc]
-            st["b_modes"] = st["b_modes"].at[lane, kc].set(
-                jnp.where(m_dmode, mdk, bmcur))
-            mode_k = st["b_modes"][lane, kc]
-            is_zmv = mode_k == 12
-            m_scan = mk & ~is_zmv
-            idxn = (mode_k == 11).astype(jnp.int32)     # NEARMV
-            sbp = jnp.where(mode_k == 13, -1,
-                            jnp.where(sub8, k, -1))
-            refz = st["b_ref"][lane, jnp.clip(z, 0, 1)]
+            # The MV machinery (the 32-slot candidate scan + component
+            # trees) dominates the while-body's op count; a lane is in
+            # the MV phase for only ~2 quanta per inter block, so it
+            # runs under a REAL branch (lax.cond with a scalar
+            # predicate — XLA executes only the taken side), keeping
+            # coefficient-quantum iterations at keyframe cost.
+            _MVW = ("b_modes", "b_mv", "mv_k", "mv_z", "cnts",
+                    "phase", "c_pl", "c_x", "c_y", "c_init",
+                    "c_modeidx", "b_anycoef", "a_ynnz", "l_ynnz",
+                    "a_unnz", "l_unnz")
+            st_outer = st
 
-            # ---- find_ref_mvs slot walk (vp9mvs.c:37-234) ----
-            bw4_ = bwh[1, jnp.clip(bs, 0, 12), 0]
-            bh4_ = bwh[1, jnp.clip(bs, 0, 12), 1]
-            minx = -(128 + bc * 64)
-            miny = -(128 + br * 64)
-            maxx = 128 + (cols - bc - bw4_) * 64
-            maxy = 128 + (rows - br - bh4_) * 64
-            pmv_t = jnp.asarray(aux["prev_mv"])
-            pref_t = jnp.asarray(aux["prev_ref"])
-            gmv = st["g_mv"]
-            gref = st["g_ref"]
-            pi = jnp.clip(br * cols + bc, 0, gmax - 1)
+            def _mv_section(carry):
+                rac, sub = carry
+                st = dict(st_outer)
+                st.update(sub)
+                phase = st["phase"]
+                mk = (phase == MV) & ~entered_mv
+                k = st["mv_k"]
+                z = st["mv_z"]
+                br, bc, bs = st["b_r"], st["b_c"], st["b_bs"]
+                row7 = br & 7
+                sub8 = bs > 9
+                m_dmode = mk & sub8 & (z == 0)
+                rac, mdk = _rac_tree(
+                    rac, half16, _IMTREE, _IMDEPTH,
+                    jnp.asarray(aux["mvmodep"])[
+                        jnp.clip(st["b_modectx"], 0, 6)], m_dmode)
+                if want_counts:
+                    km_ = jnp.where(
+                        m_dmode,
+                        CNT_OFF["mv_mode"]
+                        + jnp.clip(st["b_modectx"], 0, 6) * 4
+                        + jnp.clip(mdk - 10, 0, 3), big)
+                    st["cnts"] = st["cnts"].at[lane, km_].add(1,
+                                                              mode="drop")
+                kc = jnp.clip(k, 0, 3)
+                bmcur = st["b_modes"][lane, kc]
+                st["b_modes"] = st["b_modes"].at[lane, kc].set(
+                    jnp.where(m_dmode, mdk, bmcur))
+                mode_k = st["b_modes"][lane, kc]
+                is_zmv = mode_k == 12
+                m_scan = mk & ~is_zmv
+                idxn = (mode_k == 11).astype(jnp.int32)     # NEARMV
+                sbp = jnp.where(mode_k == 13, -1,
+                                jnp.where(sub8, k, -1))
+                refz = st["b_ref"][lane, jnp.clip(z, 0, 1)]
 
-            def scan_body(j, carry):
-                (found, rx, ry, msets, mx, my, m8s, m8x, m8y) = carry
-                kind = kinds_t[j]
-                par = pars_t[j]
-                off = ptab[jnp.clip(bs, 0, 12), par]
-                nc = bc + off[:, 0]
-                nr = br + off[:, 1]
-                nb_ok = (nc >= c0l) & (nc < cols) & (nr >= 0) \
-                    & (nr < rows)
-                gi = jnp.clip(nr * cols + nc, 0, gmax - 1)
-                gr0 = gref[gi, 0]
-                gr1 = gref[gi, 1]
-                gv0 = gmv[gi, 0]
-                gv1 = gmv[gi, 1]
-                ai = jnp.clip((br - 1) * cols + bc, 0, gmax - 1)
-                li = jnp.clip(br * cols + bc - 1, 0, gmax - 1)
-                ar0, ar1_ = gref[ai, 0], gref[ai, 1]
-                lr0, lr1_ = gref[li, 0], gref[li, 1]
-                sb_c = jnp.clip(sbp, 0, 3)
-                amv = st["a_mv"][lane,
-                                 jnp.clip(2 * bc + (sb_c & 1), 0,
-                                          2 * maxc + 15)]
-                lmv = st["l_mv"][lane,
-                                 jnp.clip(2 * row7 + (sb_c >> 1), 0,
-                                          15)]
-                pr0, pr1 = pref_t[pi, 0], pref_t[pi, 1]
-                pv0, pv1 = pmv_t[pi, 0], pmv_t[pi, 1]
-                dval = st["b_mv"][lane, jnp.clip(par, 0, 3),
-                                  jnp.clip(z, 0, 1)]
-                act = jnp.where(
-                    kind == 0,
-                    jnp.where(par == 0, sbp >= 1, sbp == 3),
-                    jnp.where(kind == 1, (sbp >= 0) & (br > 0),
-                    jnp.where(kind == 2, (sbp >= 0) & (bc > c0l),
-                    jnp.where(kind == 3,
-                              ((sbp < 0) | (par >= 2)) & nb_ok,
-                    jnp.where((kind == 5) | (kind == 6), nb_ok,
-                              use_prev == 1)))))
-                h1 = (ar0 == refz) | (ar1_ == refz)
-                v1 = jnp.where((ar0 == refz)[:, None], amv[:, 0],
-                               amv[:, 1])
-                h2 = (lr0 == refz) | (lr1_ == refz)
-                v2 = jnp.where((lr0 == refz)[:, None], lmv[:, 0],
-                               lmv[:, 1])
-                h3 = (gr0 == refz) | (gr1 == refz)
-                v3 = jnp.where((gr0 == refz)[:, None], gv0, gv1)
-                h4 = (pr0 == refz) | (pr1 == refz)
-                v4 = jnp.where((pr0 == refz)[:, None], pv0, pv1)
-                h5 = (gr0 >= 0) & (gr0 != refz)
-                h6 = (gr1 >= 0) & (gr1 != refz) \
-                    & ((gv0[:, 0] != gv1[:, 0])
-                       | (gv0[:, 1] != gv1[:, 1]))
-                h7 = (pr0 >= 0) & (pr0 != refz)
-                h8 = (pr1 >= 0) & (pr1 != refz) \
-                    & ((pv0[:, 0] != pv1[:, 0])
-                       | (pv0[:, 1] != pv1[:, 1]))
-                sb_ref = sbias[jnp.clip(refz, 0, 2)]
-                fl5 = sbias[jnp.clip(gr0, 0, 2)] != sb_ref
-                fl6 = sbias[jnp.clip(gr1, 0, 2)] != sb_ref
-                fl7 = sbias[jnp.clip(pr0, 0, 2)] != sb_ref
-                fl8 = sbias[jnp.clip(pr1, 0, 2)] != sb_ref
-                present = jnp.where(
-                    kind == 0, True,
-                    jnp.where(kind == 1, h1,
-                    jnp.where(kind == 2, h2,
-                    jnp.where(kind == 3, h3,
-                    jnp.where(kind == 4, h4,
-                    jnp.where(kind == 5, h5,
-                    jnp.where(kind == 6, h6,
-                    jnp.where(kind == 7, h7, h8))))))))
-                vx = jnp.where(
-                    kind == 0, dval[:, 0],
-                    jnp.where(kind == 1, v1[:, 0],
-                    jnp.where(kind == 2, v2[:, 0],
-                    jnp.where(kind == 3, v3[:, 0],
-                    jnp.where(kind == 4, v4[:, 0],
-                    jnp.where(kind == 5, gv0[:, 0],
-                    jnp.where(kind == 6, gv1[:, 0],
-                    jnp.where(kind == 7, pv0[:, 0], pv1[:, 0]))))))))
-                vy = jnp.where(
-                    kind == 0, dval[:, 1],
-                    jnp.where(kind == 1, v1[:, 1],
-                    jnp.where(kind == 2, v2[:, 1],
-                    jnp.where(kind == 3, v3[:, 1],
-                    jnp.where(kind == 4, v4[:, 1],
-                    jnp.where(kind == 5, gv0[:, 1],
-                    jnp.where(kind == 6, gv1[:, 1],
-                    jnp.where(kind == 7, pv0[:, 1], pv1[:, 1]))))))))
-                flip = jnp.where(
-                    kind == 5, fl5,
-                    jnp.where(kind == 6, fl6,
-                    jnp.where(kind == 7, fl7,
-                    jnp.where(kind == 8, fl8, False))))
-                vx = jnp.where(flip, -vx, vx)
-                vy = jnp.where(flip, -vy, vy)
-                proc = m_scan & act & present & ~found
-                is_dir = kind == 0
-                # RETURN_DIRECT_MV: unclamped; idx 0 returns first
-                d_ret0 = proc & is_dir & (idxn == 0)
-                d_memnew = proc & is_dir & (idxn == 1) & ~msets
-                d_diff = proc & is_dir & (idxn == 1) & msets \
-                    & ((vx != mx) | (vy != my))
-                # RETURN_MV: clamped result; sb>0 has the two-stage
-                # mem_sub8x8 compare incl. the libvpx zero-return bug
-                cx_ = jnp.clip(vx, minx, maxx)
-                cy_ = jnp.clip(vy, miny, maxy)
-                memdif = ~msets | ((cx_ != mx) | (cy_ != my))
-                nd = proc & ~is_dir
-                sbpos = sbp > 0
-                s_first = nd & sbpos & ~m8s
-                s_hit1 = s_first & memdif
-                s_mem8 = s_first & ~memdif
-                s_sec = nd & sbpos & m8s & ((vx != m8x) | (vy != m8y))
-                s_hit2 = s_sec & memdif
-                s_zero = s_sec & ~memdif
-                n_idx0 = nd & ~sbpos & (idxn == 0)
-                n_memnew = nd & ~sbpos & (idxn == 1) & ~msets
-                n_diff = nd & ~sbpos & (idxn == 1) & msets \
-                    & ((vx != mx) | (vy != my))
-                newfound = d_ret0 | d_diff | s_hit1 | s_hit2 \
-                    | s_zero | n_idx0 | n_diff
-                hitc = s_hit1 | s_hit2 | n_idx0 | n_diff
-                nrx = jnp.where(d_ret0 | d_diff, vx,
-                                jnp.where(hitc, cx_,
-                                          jnp.where(s_zero, 0, rx)))
-                nry = jnp.where(d_ret0 | d_diff, vy,
-                                jnp.where(hitc, cy_,
-                                          jnp.where(s_zero, 0, ry)))
-                nmx = jnp.where(d_memnew | n_memnew, vx, mx)
-                nmy = jnp.where(d_memnew | n_memnew, vy, my)
-                nmsets = msets | d_memnew | n_memnew
-                nm8x = jnp.where(s_mem8, vx, m8x)
-                nm8y = jnp.where(s_mem8, vy, m8y)
-                nm8s = m8s | s_mem8
-                return (found | newfound, nrx, nry, nmsets, nmx, nmy,
-                        nm8s, nm8x, nm8y)
+                # ---- find_ref_mvs slot walk (vp9mvs.c:37-234) ----
+                bw4_ = bwh[1, jnp.clip(bs, 0, 12), 0]
+                bh4_ = bwh[1, jnp.clip(bs, 0, 12), 1]
+                minx = -(128 + bc * 64)
+                miny = -(128 + br * 64)
+                maxx = 128 + (cols - bc - bw4_) * 64
+                maxy = 128 + (rows - br - bh4_) * 64
+                pmv_t = jnp.asarray(aux["prev_mv"])
+                pref_t = jnp.asarray(aux["prev_ref"])
+                gmv = st["g_mv"]
+                gref = st["g_ref"]
+                pi = jnp.clip(br * cols + bc, 0, gmax - 1)
 
-            zb = jnp.zeros((S,), bool)
-            zi = jnp.zeros((S,), jnp.int32)
-            found, rx, ry, _ms, _mx, _my, _m8, _x8, _y8 = \
-                jax.lax.fori_loop(0, _NSLOTS, scan_body,
-                                  (zb, zi, zi, zb, zi, zi, zb, zi, zi))
-            rx = jnp.where(found, rx, jnp.clip(zi, minx, maxx))
-            ry = jnp.where(found, ry, jnp.clip(zi, miny, maxy))
+                def scan_body(j, carry):
+                    (found, rx, ry, msets, mx, my, m8s, m8x, m8y) = carry
+                    kind = kinds_t[j]
+                    par = pars_t[j]
+                    off = ptab[jnp.clip(bs, 0, 12), par]
+                    nc = bc + off[:, 0]
+                    nr = br + off[:, 1]
+                    nb_ok = (nc >= c0l) & (nc < cols) & (nr >= 0) \
+                        & (nr < rows)
+                    gi = jnp.clip(nr * cols + nc, 0, gmax - 1)
+                    gr0 = gref[gi, 0]
+                    gr1 = gref[gi, 1]
+                    gv0 = gmv[gi, 0]
+                    gv1 = gmv[gi, 1]
+                    ai = jnp.clip((br - 1) * cols + bc, 0, gmax - 1)
+                    li = jnp.clip(br * cols + bc - 1, 0, gmax - 1)
+                    ar0, ar1_ = gref[ai, 0], gref[ai, 1]
+                    lr0, lr1_ = gref[li, 0], gref[li, 1]
+                    sb_c = jnp.clip(sbp, 0, 3)
+                    amv = st["a_mv"][lane,
+                                     jnp.clip(2 * bc + (sb_c & 1), 0,
+                                              2 * maxc + 15)]
+                    lmv = st["l_mv"][lane,
+                                     jnp.clip(2 * row7 + (sb_c >> 1), 0,
+                                              15)]
+                    pr0, pr1 = pref_t[pi, 0], pref_t[pi, 1]
+                    pv0, pv1 = pmv_t[pi, 0], pmv_t[pi, 1]
+                    dval = st["b_mv"][lane, jnp.clip(par, 0, 3),
+                                      jnp.clip(z, 0, 1)]
+                    act = jnp.where(
+                        kind == 0,
+                        jnp.where(par == 0, sbp >= 1, sbp == 3),
+                        jnp.where(kind == 1, (sbp >= 0) & (br > 0),
+                        jnp.where(kind == 2, (sbp >= 0) & (bc > c0l),
+                        jnp.where(kind == 3,
+                                  ((sbp < 0) | (par >= 2)) & nb_ok,
+                        jnp.where((kind == 5) | (kind == 6), nb_ok,
+                                  use_prev == 1)))))
+                    h1 = (ar0 == refz) | (ar1_ == refz)
+                    v1 = jnp.where((ar0 == refz)[:, None], amv[:, 0],
+                                   amv[:, 1])
+                    h2 = (lr0 == refz) | (lr1_ == refz)
+                    v2 = jnp.where((lr0 == refz)[:, None], lmv[:, 0],
+                                   lmv[:, 1])
+                    h3 = (gr0 == refz) | (gr1 == refz)
+                    v3 = jnp.where((gr0 == refz)[:, None], gv0, gv1)
+                    h4 = (pr0 == refz) | (pr1 == refz)
+                    v4 = jnp.where((pr0 == refz)[:, None], pv0, pv1)
+                    h5 = (gr0 >= 0) & (gr0 != refz)
+                    h6 = (gr1 >= 0) & (gr1 != refz) \
+                        & ((gv0[:, 0] != gv1[:, 0])
+                           | (gv0[:, 1] != gv1[:, 1]))
+                    h7 = (pr0 >= 0) & (pr0 != refz)
+                    h8 = (pr1 >= 0) & (pr1 != refz) \
+                        & ((pv0[:, 0] != pv1[:, 0])
+                           | (pv0[:, 1] != pv1[:, 1]))
+                    sb_ref = sbias[jnp.clip(refz, 0, 2)]
+                    fl5 = sbias[jnp.clip(gr0, 0, 2)] != sb_ref
+                    fl6 = sbias[jnp.clip(gr1, 0, 2)] != sb_ref
+                    fl7 = sbias[jnp.clip(pr0, 0, 2)] != sb_ref
+                    fl8 = sbias[jnp.clip(pr1, 0, 2)] != sb_ref
+                    present = jnp.where(
+                        kind == 0, True,
+                        jnp.where(kind == 1, h1,
+                        jnp.where(kind == 2, h2,
+                        jnp.where(kind == 3, h3,
+                        jnp.where(kind == 4, h4,
+                        jnp.where(kind == 5, h5,
+                        jnp.where(kind == 6, h6,
+                        jnp.where(kind == 7, h7, h8))))))))
+                    vx = jnp.where(
+                        kind == 0, dval[:, 0],
+                        jnp.where(kind == 1, v1[:, 0],
+                        jnp.where(kind == 2, v2[:, 0],
+                        jnp.where(kind == 3, v3[:, 0],
+                        jnp.where(kind == 4, v4[:, 0],
+                        jnp.where(kind == 5, gv0[:, 0],
+                        jnp.where(kind == 6, gv1[:, 0],
+                        jnp.where(kind == 7, pv0[:, 0], pv1[:, 0]))))))))
+                    vy = jnp.where(
+                        kind == 0, dval[:, 1],
+                        jnp.where(kind == 1, v1[:, 1],
+                        jnp.where(kind == 2, v2[:, 1],
+                        jnp.where(kind == 3, v3[:, 1],
+                        jnp.where(kind == 4, v4[:, 1],
+                        jnp.where(kind == 5, gv0[:, 1],
+                        jnp.where(kind == 6, gv1[:, 1],
+                        jnp.where(kind == 7, pv0[:, 1], pv1[:, 1]))))))))
+                    flip = jnp.where(
+                        kind == 5, fl5,
+                        jnp.where(kind == 6, fl6,
+                        jnp.where(kind == 7, fl7,
+                        jnp.where(kind == 8, fl8, False))))
+                    vx = jnp.where(flip, -vx, vx)
+                    vy = jnp.where(flip, -vy, vy)
+                    proc = m_scan & act & present & ~found
+                    is_dir = kind == 0
+                    # RETURN_DIRECT_MV: unclamped; idx 0 returns first
+                    d_ret0 = proc & is_dir & (idxn == 0)
+                    d_memnew = proc & is_dir & (idxn == 1) & ~msets
+                    d_diff = proc & is_dir & (idxn == 1) & msets \
+                        & ((vx != mx) | (vy != my))
+                    # RETURN_MV: clamped result; sb>0 has the two-stage
+                    # mem_sub8x8 compare incl. the libvpx zero-return bug
+                    cx_ = jnp.clip(vx, minx, maxx)
+                    cy_ = jnp.clip(vy, miny, maxy)
+                    memdif = ~msets | ((cx_ != mx) | (cy_ != my))
+                    nd = proc & ~is_dir
+                    sbpos = sbp > 0
+                    s_first = nd & sbpos & ~m8s
+                    s_hit1 = s_first & memdif
+                    s_mem8 = s_first & ~memdif
+                    s_sec = nd & sbpos & m8s & ((vx != m8x) | (vy != m8y))
+                    s_hit2 = s_sec & memdif
+                    s_zero = s_sec & ~memdif
+                    n_idx0 = nd & ~sbpos & (idxn == 0)
+                    n_memnew = nd & ~sbpos & (idxn == 1) & ~msets
+                    n_diff = nd & ~sbpos & (idxn == 1) & msets \
+                        & ((vx != mx) | (vy != my))
+                    newfound = d_ret0 | d_diff | s_hit1 | s_hit2 \
+                        | s_zero | n_idx0 | n_diff
+                    hitc = s_hit1 | s_hit2 | n_idx0 | n_diff
+                    nrx = jnp.where(d_ret0 | d_diff, vx,
+                                    jnp.where(hitc, cx_,
+                                              jnp.where(s_zero, 0, rx)))
+                    nry = jnp.where(d_ret0 | d_diff, vy,
+                                    jnp.where(hitc, cy_,
+                                              jnp.where(s_zero, 0, ry)))
+                    nmx = jnp.where(d_memnew | n_memnew, vx, mx)
+                    nmy = jnp.where(d_memnew | n_memnew, vy, my)
+                    nmsets = msets | d_memnew | n_memnew
+                    nm8x = jnp.where(s_mem8, vx, m8x)
+                    nm8y = jnp.where(s_mem8, vy, m8y)
+                    nm8s = m8s | s_mem8
+                    return (found | newfound, nrx, nry, nmsets, nmx, nmy,
+                            nm8s, nm8x, nm8y)
 
-            # hp + rounding (vp9mvs.c:291-321)
-            do_rnd = (mode_k == 13) | ~sub8
-            hp = (highprec == 1) & (jnp.abs(rx) < 64) \
-                & (jnp.abs(ry) < 64)
-            m_rnd = m_scan & do_rnd & ~hp
-            ry = jnp.where(m_rnd & ((ry & 1) == 1),
-                           ry + jnp.where(ry < 0, 1, -1), ry)
-            rx = jnp.where(m_rnd & ((rx & 1) == 1),
-                           rx + jnp.where(rx < 0, 1, -1), rx)
-            m_new = mk & (mode_k == 13)
-            jp = jnp.broadcast_to(
-                jnp.asarray(aux["mvjointp"])[None, :], (S, 3))
-            rac, jnt = _rac_tree(rac, half16, _JTREE, _JDEPTH, jp,
-                                 m_new)
-            if want_counts:
-                jc_ = jnp.where(m_new, CNT_OFF["mv_joint"]
-                                + jnp.clip(jnt, 0, 3), big)
-                st["cnts"] = st["cnts"].at[lane, jc_].add(1,
-                                                          mode="drop")
-            m_cy = m_new & (jnt >= 2)
-            rac, dy, st = _read_mv_comp(rac, half16, aux, st, lane,
-                                        m_cy, 0, hp, want_counts,
-                                        big, S)
-            m_cx = m_new & ((jnt & 1) == 1)
-            rac, dx, st = _read_mv_comp(rac, half16, aux, st, lane,
-                                        m_cx, 1, hp, want_counts,
-                                        big, S)
-            ry = jnp.where(m_cy, ry + dy, ry)
-            rx = jnp.where(m_cx, rx + dx, rx)
-            mvx = jnp.where(is_zmv, 0, rx)
-            mvy = jnp.where(is_zmv, 0, ry)
+                zb = jnp.zeros((S,), bool)
+                zi = jnp.zeros((S,), jnp.int32)
+                found, rx, ry, _ms, _mx, _my, _m8, _x8, _y8 = \
+                    jax.lax.fori_loop(0, _NSLOTS, scan_body,
+                                      (zb, zi, zi, zb, zi, zi, zb, zi, zi))
+                rx = jnp.where(found, rx, jnp.clip(zi, minx, maxx))
+                ry = jnp.where(found, ry, jnp.clip(zi, miny, maxy))
 
-            # store; ZEROMV zeroes both ref slots in one quantum
-            cur = st["b_mv"][lane, kc]                  # [S,2,2]
-            sel_z = jnp.arange(2)[None, :] == jnp.clip(z, 0, 1)[:, None]
-            newpair = jnp.stack([mvx, mvy], -1)
-            upd = jnp.where(sel_z[:, :, None], newpair[:, None, :],
-                            cur)
-            upd = jnp.where(is_zmv[:, None, None], 0, upd)
-            st["b_mv"] = st["b_mv"].at[lane, kc].set(
-                jnp.where(mk[:, None, None], upd, cur))
+                # hp + rounding (vp9mvs.c:291-321)
+                do_rnd = (mode_k == 13) | ~sub8
+                hp = (highprec == 1) & (jnp.abs(rx) < 64) \
+                    & (jnp.abs(ry) < 64)
+                m_rnd = m_scan & do_rnd & ~hp
+                ry = jnp.where(m_rnd & ((ry & 1) == 1),
+                               ry + jnp.where(ry < 0, 1, -1), ry)
+                rx = jnp.where(m_rnd & ((rx & 1) == 1),
+                               rx + jnp.where(rx < 0, 1, -1), rx)
+                m_new = mk & (mode_k == 13)
+                jp = jnp.broadcast_to(
+                    jnp.asarray(aux["mvjointp"])[None, :], (S, 3))
+                rac, jnt = _rac_tree(rac, half16, _JTREE, _JDEPTH, jp,
+                                     m_new)
+                if want_counts:
+                    jc_ = jnp.where(m_new, CNT_OFF["mv_joint"]
+                                    + jnp.clip(jnt, 0, 3), big)
+                    st["cnts"] = st["cnts"].at[lane, jc_].add(1,
+                                                              mode="drop")
+                m_cy = m_new & (jnt >= 2)
+                rac, dy, st = _read_mv_comp(rac, half16, aux, st, lane,
+                                            m_cy, 0, hp, want_counts,
+                                            big, S)
+                m_cx = m_new & ((jnt & 1) == 1)
+                rac, dx, st = _read_mv_comp(rac, half16, aux, st, lane,
+                                            m_cx, 1, hp, want_counts,
+                                            big, S)
+                ry = jnp.where(m_cy, ry + dy, ry)
+                rx = jnp.where(m_cx, rx + dx, rx)
+                mvx = jnp.where(is_zmv, 0, rx)
+                mvy = jnp.where(is_zmv, 0, ry)
 
-            # advance (k, z)
-            go_z1 = mk & (st["b_comp"] == 1) & (z == 0) & ~is_zmv
-            stepk = jnp.where(bs == 10, 2, 1)
-            lastk = jnp.where(bs == 12, 3,
-                              jnp.where(bs == 11, 1,
-                                        jnp.where(bs == 10, 2, 0)))
-            nk = k + stepk
-            m_next = mk & ~go_z1 & (nk <= lastk) & sub8
-            fin = mk & ~go_z1 & ~m_next
-            st["mv_z"] = jnp.where(go_z1, 1,
-                                   jnp.where(mk, 0, st["mv_z"]))
-            st["mv_k"] = jnp.where(m_next, nk, st["mv_k"])
+                # store; ZEROMV zeroes both ref slots in one quantum
+                cur = st["b_mv"][lane, kc]                  # [S,2,2]
+                sel_z = jnp.arange(2)[None, :] == jnp.clip(z, 0, 1)[:, None]
+                newpair = jnp.stack([mvx, mvy], -1)
+                upd = jnp.where(sel_z[:, :, None], newpair[:, None, :],
+                                cur)
+                upd = jnp.where(is_zmv[:, None, None], 0, upd)
+                st["b_mv"] = st["b_mv"].at[lane, kc].set(
+                    jnp.where(mk[:, None, None], upd, cur))
 
-            # finalize: propagate shared sub-block slots
-            # (vp9block.c:732-766), then the block's skip/coef path
-            csrc_t = jnp.asarray(np.asarray(
-                [[0, 0, 0, 0]] * 10 + [[0, 0, 2, 2], [0, 1, 0, 1],
-                                       [0, 1, 2, 3]], np.int32))
-            src = csrc_t[jnp.clip(bs, 0, 12)]
-            gmv_c = st["b_mv"][lane[:, None], src]
-            st["b_mv"] = jnp.where(fin[:, None, None, None], gmv_c,
-                                   st["b_mv"])
-            gmd_c = st["b_modes"][lane[:, None], src]
-            st["b_modes"] = jnp.where(fin[:, None], gmd_c,
-                                      st["b_modes"])
-            fin_skip = fin & (st["b_skip"] == 1)
-            fin_coef = fin & (st["b_skip"] == 0)
-            bw4f = bwh[1, jnp.clip(bs, 0, 12), 0]
-            bh4f = bwh[1, jnp.clip(bs, 0, 12), 1]
-            st = zero_nnz(st, fin_skip, bc, row7, bw4f, bh4f)
-            st["phase"] = jnp.where(fin_skip, PART,
-                                    jnp.where(fin_coef, COEF,
-                                              st["phase"]))
-            st["c_pl"] = jnp.where(fin, 0, st["c_pl"])
-            st["c_x"] = jnp.where(fin, 0, st["c_x"])
-            st["c_y"] = jnp.where(fin, 0, st["c_y"])
-            st["c_init"] = jnp.where(fin_coef, 1, st["c_init"])
-            st["c_modeidx"] = jnp.where(fin, 0, st["c_modeidx"])
-            st["b_anycoef"] = jnp.where(fin, 0, st["b_anycoef"])
+                # advance (k, z)
+                go_z1 = mk & (st["b_comp"] == 1) & (z == 0) & ~is_zmv
+                stepk = jnp.where(bs == 10, 2, 1)
+                lastk = jnp.where(bs == 12, 3,
+                                  jnp.where(bs == 11, 1,
+                                            jnp.where(bs == 10, 2, 0)))
+                nk = k + stepk
+                m_next = mk & ~go_z1 & (nk <= lastk) & sub8
+                fin = mk & ~go_z1 & ~m_next
+                st["mv_z"] = jnp.where(go_z1, 1,
+                                       jnp.where(mk, 0, st["mv_z"]))
+                st["mv_k"] = jnp.where(m_next, nk, st["mv_k"])
+
+                # finalize: propagate shared sub-block slots
+                # (vp9block.c:732-766), then the block's skip/coef path
+                csrc_t = jnp.asarray(np.asarray(
+                    [[0, 0, 0, 0]] * 10 + [[0, 0, 2, 2], [0, 1, 0, 1],
+                                           [0, 1, 2, 3]], np.int32))
+                src = csrc_t[jnp.clip(bs, 0, 12)]
+                gmv_c = st["b_mv"][lane[:, None], src]
+                st["b_mv"] = jnp.where(fin[:, None, None, None], gmv_c,
+                                       st["b_mv"])
+                gmd_c = st["b_modes"][lane[:, None], src]
+                st["b_modes"] = jnp.where(fin[:, None], gmd_c,
+                                          st["b_modes"])
+                fin_skip = fin & (st["b_skip"] == 1)
+                fin_coef = fin & (st["b_skip"] == 0)
+                bw4f = bwh[1, jnp.clip(bs, 0, 12), 0]
+                bh4f = bwh[1, jnp.clip(bs, 0, 12), 1]
+                st = zero_nnz(st, fin_skip, bc, row7, bw4f, bh4f)
+                st["phase"] = jnp.where(fin_skip, PART,
+                                        jnp.where(fin_coef, COEF,
+                                                  st["phase"]))
+                st["c_pl"] = jnp.where(fin, 0, st["c_pl"])
+                st["c_x"] = jnp.where(fin, 0, st["c_x"])
+                st["c_y"] = jnp.where(fin, 0, st["c_y"])
+                st["c_init"] = jnp.where(fin_coef, 1, st["c_init"])
+                st["c_modeidx"] = jnp.where(fin, 0, st["c_modeidx"])
+                st["b_anycoef"] = jnp.where(fin, 0, st["b_anycoef"])
+                return (rac, {kk: st[kk] for kk in _MVW},
+                        fin, fin_skip, fin_coef)
+
+            def _mv_idle(carry):
+                rac, sub = carry
+                zf = jnp.zeros((S,), bool)
+                return (rac, sub, zf, zf, zf)
+
+            mv_pred = jnp.any((st["phase"] == MV) & ~entered_mv)
+            rac, mv_sub, fin, fin_skip, fin_coef = jax.lax.cond(
+                mv_pred, _mv_section, _mv_idle,
+                (rac, {kk: st[kk] for kk in _MVW}))
+            st.update(mv_sub)
             entered_coef = fin_coef
             emit_rec = emit_rec | fin_skip
             do_ctx_nonkf = do_ctx_nonkf | fin
@@ -2181,102 +2244,118 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
             # ===== deferred non-keyframe SET_CTXS + grid write-back
             # (vp9block.c:682-801) for lanes whose mode bundle became
             # final this quantum =====
-            brf, bcf = st["b_r"], st["b_c"]
-            bsf = st["b_bs"]
-            row7f = brf & 7
-            nwf = bwh[1, jnp.clip(bsf, 0, 12), 0]
-            nhf = bwh[1, jnp.clip(bsf, 0, 12), 1]
-            w4cf = jnp.minimum(cols - bcf, nwf)
-            h4cf = jnp.minimum(rows - brf, nhf)
-            dcx = do_ctx_nonkf
-            bi_ = st["b_intra"]
-            bcm = st["b_comp"]
-            mode3v = st["b_modes"][:, 3]
-            st["a_intra"] = splat1(st["a_intra"], bcf, bi_, nwf, dcx)
-            st["a_comp"] = splat1(st["a_comp"], bcf, bcm, nwf, dcx)
-            st["a_mode"] = splat1(st["a_mode"], bcf, mode3v, nwf, dcx)
-            st["l_intra"] = splat1(st["l_intra"], row7f, bi_, nhf, dcx)
-            st["l_comp"] = splat1(st["l_comp"], row7f, bcm, nhf, dcx)
-            st["l_mode"] = splat1(st["l_mode"], row7f, mode3v, nhf,
-                                  dcx)
-            vidx = sbias[jnp.clip(varref0, 0, 2)]
-            vref = jnp.where(bcm == 1,
-                             st["b_ref"][lane, jnp.clip(vidx, 0, 1)],
-                             st["b_ref"][:, 0])
-            m_refctx = dcx & (bi_ == 0)
-            st["a_ref"] = splat1(st["a_ref"], bcf, vref, nwf, m_refctx)
-            st["l_ref"] = splat1(st["l_ref"], row7f, vref, nhf,
-                                 m_refctx)
-            m_fctx = m_refctx & (filtermode == 4)
-            st["a_filter"] = splat1(st["a_filter"], bcf,
-                                    st["b_filterid"], nwf, m_fctx)
-            st["l_filter"] = splat1(st["l_filter"], row7f,
-                                    st["b_filterid"], nhf, m_fctx)
-            # mv ctx (vp9block.c:770-800); intra positions never read
-            # (their grid refs are -1 and never match a candidate)
-            mv3 = st["b_mv"][:, 3]
-            mv1_ = st["b_mv"][:, 1]
-            mv2_ = st["b_mv"][:, 2]
-            sub8f = bsf > 9
-            m_mvctx = dcx & (bi_ == 0)
-            amvc = st["a_mv"]
-            lmvc = st["l_mv"]
-            m_splmv = m_mvctx & ~sub8f
-            k16 = jnp.arange(16)[None, :]
-            oks = m_splmv[:, None] & (k16 < (2 * w4cf)[:, None])
-            tgt = jnp.where(oks, 2 * bcf[:, None] + k16, big)
-            amvc = amvc.at[lane[:, None], tgt].set(
-                jnp.broadcast_to(mv3[:, None], (S, 16, 2, 2)),
-                mode="drop")
-            okl = m_splmv[:, None] & (k16 < (2 * h4cf)[:, None])
-            tgtl = jnp.where(okl, 2 * row7f[:, None] + k16, big)
-            lmvc = lmvc.at[lane[:, None], tgtl].set(
-                jnp.broadcast_to(mv3[:, None], (S, 16, 2, 2)),
-                mode="drop")
-            m_s8 = m_mvctx & sub8f
-            lmvc = lmvc.at[lane, jnp.where(m_s8, 2 * row7f, big)].set(
-                mv1_, mode="drop")
-            lmvc = lmvc.at[lane,
-                           jnp.where(m_s8, 2 * row7f + 1, big)].set(
-                mv3, mode="drop")
-            amvc = amvc.at[lane, jnp.where(m_s8, 2 * bcf, big)].set(
-                mv2_, mode="drop")
-            amvc = amvc.at[lane,
-                           jnp.where(m_s8, 2 * bcf + 1, big)].set(
-                mv3, mode="drop")
-            st["a_mv"] = amvc
-            st["l_mv"] = lmvc
-            # frame MV/ref grids over the clipped block area
-            kyy = jnp.arange(8)[None, :, None]
-            kxx = jnp.arange(8)[None, None, :]
-            okgw = dcx[:, None, None] & (kyy < h4cf[:, None, None]) \
-                & (kxx < w4cf[:, None, None])
-            gidx = jnp.where(okgw,
-                             (brf[:, None, None] + kyy) * cols
-                             + bcf[:, None, None] + kxx, big)
-            r0g = jnp.where(bi_ == 1, -1, st["b_ref"][:, 0])
-            r1g = jnp.where((bi_ == 0) & (bcm == 1),
-                            st["b_ref"][:, 1], -1)
-            gref_ = st["g_ref"]
-            gref_ = gref_.at[gidx, 0].set(
-                jnp.broadcast_to(r0g[:, None, None], (S, 8, 8)),
-                mode="drop")
-            gref_ = gref_.at[gidx, 1].set(
-                jnp.broadcast_to(r1g[:, None, None], (S, 8, 8)),
-                mode="drop")
-            st["g_ref"] = gref_
-            m_mv0 = dcx & (bi_ == 0)
-            g0idx = jnp.where(m_mv0[:, None, None], gidx, big)
-            gmv_o = st["g_mv"]
-            gmv_o = gmv_o.at[g0idx, 0].set(
-                jnp.broadcast_to(mv3[:, None, None, 0], (S, 8, 8, 2)),
-                mode="drop")
-            m_mv1 = m_mv0 & (bcm == 1)
-            g1idx = jnp.where(m_mv1[:, None, None], gidx, big)
-            gmv_o = gmv_o.at[g1idx, 1].set(
-                jnp.broadcast_to(mv3[:, None, None, 1], (S, 8, 8, 2)),
-                mode="drop")
-            st["g_mv"] = gmv_o
+            # runs under a real branch: a block finalizes once per
+            # ~20 quanta, and this section is scatter-heavy
+            _CXW = ("a_intra", "a_comp", "a_mode", "l_intra", "l_comp",
+                    "l_mode", "a_ref", "l_ref", "a_filter", "l_filter",
+                    "a_mv", "l_mv", "g_mv", "g_ref")
+            st_outer2 = st
+
+            def _ctx_section(sub):
+                st = dict(st_outer2)
+                st.update(sub)
+                dcx = do_ctx_nonkf
+                brf, bcf = st["b_r"], st["b_c"]
+                bsf = st["b_bs"]
+                row7f = brf & 7
+                nwf = bwh[1, jnp.clip(bsf, 0, 12), 0]
+                nhf = bwh[1, jnp.clip(bsf, 0, 12), 1]
+                w4cf = jnp.minimum(cols - bcf, nwf)
+                h4cf = jnp.minimum(rows - brf, nhf)
+                dcx = do_ctx_nonkf
+                bi_ = st["b_intra"]
+                bcm = st["b_comp"]
+                mode3v = st["b_modes"][:, 3]
+                st["a_intra"] = splat1(st["a_intra"], bcf, bi_, nwf, dcx)
+                st["a_comp"] = splat1(st["a_comp"], bcf, bcm, nwf, dcx)
+                st["a_mode"] = splat1(st["a_mode"], bcf, mode3v, nwf, dcx)
+                st["l_intra"] = splat1(st["l_intra"], row7f, bi_, nhf, dcx)
+                st["l_comp"] = splat1(st["l_comp"], row7f, bcm, nhf, dcx)
+                st["l_mode"] = splat1(st["l_mode"], row7f, mode3v, nhf,
+                                      dcx)
+                vidx = sbias[jnp.clip(varref0, 0, 2)]
+                vref = jnp.where(bcm == 1,
+                                 st["b_ref"][lane, jnp.clip(vidx, 0, 1)],
+                                 st["b_ref"][:, 0])
+                m_refctx = dcx & (bi_ == 0)
+                st["a_ref"] = splat1(st["a_ref"], bcf, vref, nwf, m_refctx)
+                st["l_ref"] = splat1(st["l_ref"], row7f, vref, nhf,
+                                     m_refctx)
+                m_fctx = m_refctx & (filtermode == 4)
+                st["a_filter"] = splat1(st["a_filter"], bcf,
+                                        st["b_filterid"], nwf, m_fctx)
+                st["l_filter"] = splat1(st["l_filter"], row7f,
+                                        st["b_filterid"], nhf, m_fctx)
+                # mv ctx (vp9block.c:770-800); intra positions never read
+                # (their grid refs are -1 and never match a candidate)
+                mv3 = st["b_mv"][:, 3]
+                mv1_ = st["b_mv"][:, 1]
+                mv2_ = st["b_mv"][:, 2]
+                sub8f = bsf > 9
+                m_mvctx = dcx & (bi_ == 0)
+                amvc = st["a_mv"]
+                lmvc = st["l_mv"]
+                m_splmv = m_mvctx & ~sub8f
+                k16 = jnp.arange(16)[None, :]
+                oks = m_splmv[:, None] & (k16 < (2 * w4cf)[:, None])
+                tgt = jnp.where(oks, 2 * bcf[:, None] + k16, big)
+                amvc = amvc.at[lane[:, None], tgt].set(
+                    jnp.broadcast_to(mv3[:, None], (S, 16, 2, 2)),
+                    mode="drop")
+                okl = m_splmv[:, None] & (k16 < (2 * h4cf)[:, None])
+                tgtl = jnp.where(okl, 2 * row7f[:, None] + k16, big)
+                lmvc = lmvc.at[lane[:, None], tgtl].set(
+                    jnp.broadcast_to(mv3[:, None], (S, 16, 2, 2)),
+                    mode="drop")
+                m_s8 = m_mvctx & sub8f
+                lmvc = lmvc.at[lane, jnp.where(m_s8, 2 * row7f, big)].set(
+                    mv1_, mode="drop")
+                lmvc = lmvc.at[lane,
+                               jnp.where(m_s8, 2 * row7f + 1, big)].set(
+                    mv3, mode="drop")
+                amvc = amvc.at[lane, jnp.where(m_s8, 2 * bcf, big)].set(
+                    mv2_, mode="drop")
+                amvc = amvc.at[lane,
+                               jnp.where(m_s8, 2 * bcf + 1, big)].set(
+                    mv3, mode="drop")
+                st["a_mv"] = amvc
+                st["l_mv"] = lmvc
+                # frame MV/ref grids over the clipped block area
+                kyy = jnp.arange(8)[None, :, None]
+                kxx = jnp.arange(8)[None, None, :]
+                okgw = dcx[:, None, None] & (kyy < h4cf[:, None, None]) \
+                    & (kxx < w4cf[:, None, None])
+                gidx = jnp.where(okgw,
+                                 (brf[:, None, None] + kyy) * cols
+                                 + bcf[:, None, None] + kxx, big)
+                r0g = jnp.where(bi_ == 1, -1, st["b_ref"][:, 0])
+                r1g = jnp.where((bi_ == 0) & (bcm == 1),
+                                st["b_ref"][:, 1], -1)
+                gref_ = st["g_ref"]
+                gref_ = gref_.at[gidx, 0].set(
+                    jnp.broadcast_to(r0g[:, None, None], (S, 8, 8)),
+                    mode="drop")
+                gref_ = gref_.at[gidx, 1].set(
+                    jnp.broadcast_to(r1g[:, None, None], (S, 8, 8)),
+                    mode="drop")
+                st["g_ref"] = gref_
+                m_mv0 = dcx & (bi_ == 0)
+                g0idx = jnp.where(m_mv0[:, None, None], gidx, big)
+                gmv_o = st["g_mv"]
+                gmv_o = gmv_o.at[g0idx, 0].set(
+                    jnp.broadcast_to(mv3[:, None, None, 0], (S, 8, 8, 2)),
+                    mode="drop")
+                m_mv1 = m_mv0 & (bcm == 1)
+                g1idx = jnp.where(m_mv1[:, None, None], gidx, big)
+                gmv_o = gmv_o.at[g1idx, 1].set(
+                    jnp.broadcast_to(mv3[:, None, None, 1], (S, 8, 8, 2)),
+                    mode="drop")
+                st["g_mv"] = gmv_o
+                return {kk: st[kk] for kk in _CXW}
+
+            st.update(jax.lax.cond(
+                jnp.any(do_ctx_nonkf), _ctx_section, lambda sub: sub,
+                {kk: st[kk] for kk in _CXW}))
 
         # ===== emit finished block records (native 34-col layout) ====
         if inter:
@@ -2292,22 +2371,29 @@ def _decode_jit(half16, rac0, bounds, skipp, tx8p, tx16p, tx32p,
             intra_v, comp_v, ref0v, ref1v, filtv = \
                 onevr, zvr, zvr, zvr, zvr
             mvflat = jnp.zeros((S, 16), jnp.int32)
-        recf = jnp.concatenate([
-            jnp.stack([st["b_r"], st["b_c"], c0l, st["b_bs"],
-                       st["b_seg"], st["b_skip"], intra_v, st["b_tx"],
-                       st["b_uvtx"]], 1),
-            st["b_modes"],
-            jnp.stack([st["b_uvmode"], comp_v, ref0v, ref1v, filtv],
-                      1),
-            mvflat], axis=1)
-        bi2 = jnp.where(emit_rec, st["nblk"], big)
-        st["blocks"] = st["blocks"].at[
-            lane, jnp.clip(bi2, 0, bmax - 1)].set(
-            jnp.where(emit_rec[:, None] & (bi2 < bmax)[:, None], recf,
-                      st["blocks"][lane, jnp.clip(bi2, 0, bmax - 1)]))
-        st["nblk"] = jnp.where(emit_rec, st["nblk"] + 1, st["nblk"])
-        st["err"] = st["err"] | jnp.where(emit_rec & (bi2 >= bmax),
-                                          1, 0)
+        def _emit_section(sub):
+            blocks_, nblk_, err_ = sub
+            recf = jnp.concatenate([
+                jnp.stack([st["b_r"], st["b_c"], c0l, st["b_bs"],
+                           st["b_seg"], st["b_skip"], intra_v,
+                           st["b_tx"], st["b_uvtx"]], 1),
+                st["b_modes"],
+                jnp.stack([st["b_uvmode"], comp_v, ref0v, ref1v,
+                           filtv], 1),
+                mvflat], axis=1)
+            bi2 = jnp.where(emit_rec, nblk_, big)
+            blocks_ = blocks_.at[
+                lane, jnp.clip(bi2, 0, bmax - 1)].set(
+                jnp.where(emit_rec[:, None] & (bi2 < bmax)[:, None],
+                          recf,
+                          blocks_[lane, jnp.clip(bi2, 0, bmax - 1)]))
+            nblk_ = jnp.where(emit_rec, nblk_ + 1, nblk_)
+            err_ = err_ | jnp.where(emit_rec & (bi2 >= bmax), 1, 0)
+            return (blocks_, nblk_, err_)
+
+        st["blocks"], st["nblk"], st["err"] = jax.lax.cond(
+            jnp.any(emit_rec), _emit_section, lambda sub: sub,
+            (st["blocks"], st["nblk"], st["err"]))
 
         st["rac"] = rac
         return st

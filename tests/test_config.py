@@ -10,7 +10,7 @@ def test_defaults():
     cfg = Config()
     assert cfg.mc_impl is None and cfg.lf_impl is None
     assert cfg.bench_vec == "bench_1080p"
-    assert cfg.bench_trials == 3
+    assert cfg.bench_trials == 5
 
 
 def test_from_env(monkeypatch):
