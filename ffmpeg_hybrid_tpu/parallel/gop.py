@@ -46,11 +46,18 @@ past r + the refetch border). The mesh-native analogue:
     stripes per step — steady-state efficiency (S_f)/(S_f + G) for
     S_f stripes per frame.
 
-Implementation status: the stripe-sharded reconstruction and the
-per-step ppermute halo machinery exist (parallel/fullframe.py runs
-exactly that schedule INSIDE one frame for the cross-tile loop
-filter); the missing piece is the stripe-granular outer schedule and
-ref-row forwarding across the gop axis. Tracked for round 5.
+Implementation status (round 5): IMPLEMENTED in
+parallel/gop_pipeline.py for bounded-MV chained inter content — the
+static lag-L stripe schedule with per-step ppermute forwarding of
+reconstructed stripes into the next shard's reference buffer, stripe
+recon through the production fused inter pass
+(recon_tpu._recon_plane_inter) with the stripe row origin folded into
+the MV grid. Validated bit-exact vs serial on 4 chained frames x 4
+gop shards (tests/test_gop_pipeline.py; driver leg
+__graft_entry__.dryrun_gop_pipeline). Remaining composition work:
+in-loop filtering shifts row finality by 8 (the guard just moves the
+forwarded window), intra blocks need the above-row pixel handoff,
+and unbounded-MV content needs the row-await fallback.
 """
 from __future__ import annotations
 
