@@ -1,13 +1,18 @@
-"""On-device pass A: the FULL keyframe block-syntax walk, S tile
-streams in lockstep.
+"""On-device pass A: the FULL block-syntax walk for both frame
+kinds, S tile streams in lockstep.
 
 Extends the multi-stream bool/coefficient machinery (ops/rac_pallas.py)
-from single transform blocks to the complete intra-frame tile decode:
-partition quadtree, segment id, skip, tx size, the context-coupled
-keyframe intra mode trees, uv mode, and every coefficient block with
-live nnz-context maintenance — so one keyframe/intra-only vector's
-pass A runs entirely on the device, bit-exact against the host
-decoders (tests/test_passa_device.py).
+from single transform blocks to the complete tile decode — partition
+quadtree, segment id (incl. temporal prediction from the previous
+frame's map), skip, tx size, intra modes (the context-coupled keyframe
+trees and the fixed-table non-keyframe path), compound/single
+reference selection with the full context chains, interp filter,
+whole-block and per-sub-block inter modes, the complete MV layer
+(find_ref_mvs candidate scan over the decode-order MV grid +
+read_mv_component trees, vp9mvs.c), every coefficient block with live
+nnz-context maintenance, and the full vp9prob.c symbol-count taxonomy
+— bit-exact against the host decoders on real streams
+(tests/test_passa_device.py).
 
 Formulation: one `lax.while_loop` whose body executes ONE bounded
 quantum per lane according to a per-lane phase machine —
@@ -15,27 +20,33 @@ quantum per lane according to a per-lane phase machine —
   PART  one partition-tree node: decode the partition symbol (full
         tree / edge-forced single bit / forced split,
         vp9.c:1115-1193) or emit the node's next child/leaf block;
-  MODE  the whole mode bundle of one block (seg id, skip, tx ladder,
-        the 4-slot KF y-mode trees with above/left mode-context
-        coupling, uv mode, SET_CTXS splats — vp9block.c:80-330,744);
+  MODE  the whole mode bundle of one block (seg id, skip, intra/inter
+        flag, tx ladder, modes/refs/filter — vp9block.c:80-802);
+  MV    one (sub-block, ref) MV: optional sub-block inter-mode tree,
+        the find_ref_mvs 32-slot candidate scan, hp rounding, NEWMV
+        joint+component reads (vp9mvs.c:37-365);
   COEF  one scan position of the current transform block (the token
         cascade of vp9block.c:805-923), with transform-block and
-        plane transitions (nnz merge/splat, per-4x4-mode tx type
-        selection — the decode_coeffs walk) folded into the quantum.
+        plane transitions folded into the quantum.
 
 Every lane is an independent VP9 tile bool stream (vp9.c:1342), so the
-per-symbol scalar ops become [S]-vector ops; divergence (different
-block sizes, different coefficient counts) is handled by predication,
-and the loop runs until every lane's tile is drained.
+per-symbol scalar ops become [S]-vector ops; divergence is handled by
+predication, and the loop runs until every lane's tile is drained.
+The per-block sections (MODE, MV, finalize ctx/grids, record emit)
+run under real `lax.cond` branches: coefficient quanta dominate the
+iteration count, so the while-body's common path stays lean (8.6x
+measured on a dense inter frame).
 
-This is the jnp/XLA instantiation of the lockstep design: it jits on
-CPU and TPU as-is (gathers, scatters, while_loop). The Pallas kernel
-in rac_pallas.py remains the hand-tiled fast path for the coefficient
-inner loop; KERNEL_BENCH.json records the measured symbols/s of this
-full walk vs the native C decoder and the resulting crossover.
+This jnp/XLA instantiation is the bit-exact executable SPECIFICATION
+of the walk; at runtime it is op-dispatch-bound (~1000x one host C
+core on the tunneled chip — KERNEL_BENCH.json note_passa_device_r5),
+so the production on-device entropy path is a Pallas port of this
+walk (sequential in-kernel loops; ops/rac_pallas.py holds the
+coefficient inner loop today).
 
 Reference: /root/reference/libavcodec/vp9block.c:80-923 (decode_mode /
 decode_coeffs / decode_block), vp9.c:1115-1193 (decode_sb),
+vp9mvs.c:37-365 (MV prediction/decode), vp9prob.c (count taxonomy),
 vpx_rac.h:83-94 (the bool decoder being vectorized).
 """
 from functools import partial
@@ -498,7 +509,9 @@ def _scans_i32():
 
 def decode_keyframe_device(inputs, meta, bmax=None, cmax=None,
                            emax=None):
-    """Run the full keyframe pass A on device. Returns numpy outputs:
+    """Run the full pass A on device (keyframe/intra-only inputs from
+    prep_keyframe; inter frames from prep_inter — meta["inter"]
+    selects the executable). Returns numpy outputs:
     (blocks [S, bmax, 12], nblk [S], cpairs [S, cmax, 2], ncp [S],
     epairs [S, emax, 2], nep [S], counts [S, CNT_TOTAL], err [S]).
 
