@@ -54,10 +54,12 @@ recon through the production fused inter pass
 (recon_tpu._recon_plane_inter) with the stripe row origin folded into
 the MV grid. Validated bit-exact vs serial on 4 chained frames x 4
 gop shards (tests/test_gop_pipeline.py; driver leg
-__graft_entry__.dryrun_gop_pipeline). Remaining composition work:
-in-loop filtering shifts row finality by 8 (the guard just moves the
-forwarded window), intra blocks need the above-row pixel handoff,
-and unbounded-MV content needs the row-await fallback.
+__graft_entry__.dryrun_gop_pipeline), INCLUDING the in-loop filter:
+each stripe's recorded LF edge stream replays after its recon and
+the forwarded windows shift by the reference's 8-row finality guard
+(vp9recon.c:392-394). Remaining composition work: intra blocks need
+the above-row pixel handoff, and unbounded-MV content needs the
+row-await fallback.
 """
 from __future__ import annotations
 

@@ -20,30 +20,33 @@ from ffmpeg_hybrid_tpu.parallel.gop_pipeline import decode_chained_gop
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 
 
-def _chained_stream(w, h, n_inter, seed=3):
+def _chained_stream(w, h, n_inter, seed=3, flt=0):
     sys.path.insert(0, TOOLS)
     try:
         from mini_encoder import encode_keyframe_random, encode_inter_flex
     finally:
         sys.path.pop(0)
     pkts = [encode_keyframe_random(w, h, 8, seed=seed, txfmmode=3,
-                                   yac_qi=60, filter_level=0)]
+                                   yac_qi=60, filter_level=flt)]
     for i in range(n_inter):
         pkts.append(encode_inter_flex(
             w, h, seed=seed + 10 + i, coeffs=True, p_intra=0.0,
             p_skip=0.3, mv_mags=(0, 2, 4, 8, 16),
-            refresh_mask=0x01, filter_level=0))
+            refresh_mask=0x01, filter_level=flt))
     return pkts
 
 
-@pytest.mark.parametrize("gshape", [(128, 192), (130, 134)])
-def test_chained_gop_stripe_pipeline(gshape):
+@pytest.mark.parametrize("gshape,flt", [((128, 192), 0),
+                                        ((130, 134), 0),
+                                        ((128, 192), 24),
+                                        ((130, 134), 31)])
+def test_chained_gop_stripe_pipeline(gshape, flt):
     w, h = gshape
     G = 4
     if jax.device_count() < G:
         pytest.skip("needs 4 devices")
     mesh = Mesh(np.asarray(jax.devices()[:G]), ("gop",))
-    pkts = _chained_stream(w, h, G)
+    pkts = _chained_stream(w, h, G, flt=flt)
 
     # serial golden baseline
     dec = VP9Decoder(recon_backend="golden", use_native=False)
